@@ -1,0 +1,206 @@
+"""Unified configuration for DCARL-TPU.
+
+The reference scatters constants across module tops (e.g.
+Simulation_testing/.../JunctionTrajectoryPlanner.py:14-40) and a
+rosparam-backed ``parse_private_args`` (software/src/library/src/
+zzz_common/params.py:12-35).  Here everything is a frozen dataclass so
+configs hash cleanly into jit static arguments and are serializable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ConfidenceConfig:
+    """Hoeffding-style confidence-bound parameters.
+
+    Mirrors the estimator constants of the reference demos
+    (Simulation_testing/Simulation_1/test_DCARL.py:10-28): value support
+    [loc, loc+scale] = [-50, 100], confidence level alpha, bound cap at
+    ``value_max``, and the ``n_thres`` data-count gate.
+    """
+
+    alpha: float = 0.05
+    loc: float = -50.0
+    scale: float = 150.0
+    value_max: float = 100.0
+    n_thres: int = 10
+    rule_action: int = 0
+    rule_prior: float = 100.0   # optimistic init for the rule action
+    other_prior: float = -50.0  # pessimistic init for other actions
+
+
+@dataclasses.dataclass(frozen=True)
+class StoreConfig:
+    """Continuous-state confidence store (R-tree replacement).
+
+    The reference uses an on-disk libspatialindex R-tree with per-dim
+    query half-widths (deepq/RLS.py:61-76).  The TPU store is a
+    fixed-capacity dataset with fused box-query reductions.
+    """
+
+    capacity: int = 1 << 17
+    key_dim: int = 21  # 20-D obs + 1-D action
+    visited_times_thres: int = 30
+    rl_visited_times_min: int = 5
+    confidence_thres: float = 0.5
+    gamma: float = 0.95
+    n_step_window: int = 10
+    trajectory_buffer_len: int = 20
+    rule_good_thres: float = -0.1
+    num_candidate_actions: int = 8  # action 0 = rule, 1..7 candidates
+
+
+@dataclasses.dataclass(frozen=True)
+class WerlingConfig:
+    """Frenet-lattice sampler constants.
+
+    Matches Simulation_testing/.../JunctionTrajectoryPlanner.py:14-40.
+    The lattice is static-shaped: lateral offsets ``d_offsets``, horizon
+    times ``horizons``, terminal speeds ``target_speeds`` — a
+    [n_d, n_T, n_v] grid of (quintic lateral, quartic longitudinal)
+    polynomial pairs evaluated on a fixed time grid.
+    """
+
+    max_speed: float = 50.0 / 3.6
+    max_accel: float = 10.0
+    max_curvature: float = 500.0
+    min_lateral: float = -4.0
+    max_lateral: float = 4.0
+    d_road_w: float = 2.0
+    dt: float = 0.3
+    min_t: float = 4.0
+    max_t: float = 4.2
+    target_speed: float = 30.0 / 3.6
+    d_t_s: float = 15.0 / 3.6
+    n_s_sample: int = 1
+    obstacles_considered: int = 4
+    robot_radius: float = 1.0
+    move_gap: float = 1.0
+    # cost weights
+    kj: float = 0.1
+    kt: float = 0.1
+    kd: float = 1.0
+    klat: float = 1.0
+    klon: float = 1.0
+
+    @property
+    def d_offsets(self) -> Tuple[float, ...]:
+        out, d = [], self.min_lateral
+        while d < self.max_lateral + 1.0 - 1e-9:
+            out.append(d)
+            d += self.d_road_w
+        return tuple(out)
+
+    @property
+    def horizons(self) -> Tuple[float, ...]:
+        out, t = [], self.min_t
+        while t < self.max_t - 1e-9:
+            out.append(t)
+            t += self.dt
+        return tuple(out)
+
+    @property
+    def target_speeds(self) -> Tuple[float, ...]:
+        lo = self.target_speed - self.d_t_s * self.n_s_sample
+        hi = self.target_speed + self.d_t_s * self.n_s_sample
+        out, v = [], lo
+        while v < hi - 1e-9:
+            out.append(v)
+            v += self.d_t_s
+        return tuple(out)
+
+    @property
+    def n_time_steps(self) -> int:
+        # time grid arange(0, T, dt) for the shortest horizon; horizons
+        # in the reference grid differ only beyond the shared prefix.
+        return int(self.min_t / self.dt + 1e-9)
+
+    @property
+    def num_paths(self) -> int:
+        return len(self.d_offsets) * len(self.horizons) * len(self.target_speeds)
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvConfig:
+    """Vectorized T-intersection scenario.
+
+    Semantics mirror Simulation_testing/.../TestScenario_Town03.py:70-141
+    (dt, reward, termination) with CARLA physics replaced by an on-device
+    kinematic model; geometry is a synthetic T-intersection laid out like
+    the reference's Town03 scenario (start (242,120) heading -y, goal
+    (245,29), pedestrian crossing at y=80).
+    """
+
+    dt: float = 0.05
+    num_objects: int = 3          # objects exposed in the 20-D state
+    num_vehicles: int = 6         # scripted traffic
+    state_dim: int = 20
+    action_dim: int = 11
+    collision_radius: float = 2.0
+    pedestrian_speed: float = 0.9
+    stuck_speed: float = 0.1
+    stuck_time: float = 2.0
+    pass_line_y: float = 73.7
+    reward_collision: float = -100.0
+    reward_stuck: float = 0.0
+    max_episode_steps: int = 400
+    ego_start: Tuple[float, float, float] = (242.0, 110.0, -1.5707963267948966)
+    target_speed: float = 30.0 / 3.6
+    wheelbase: float = 3.15
+    max_steer: float = 1.0
+    max_accel: float = 5.0
+    max_brake: float = 8.0
+
+
+@dataclasses.dataclass(frozen=True)
+class DQNConfig:
+    """Learner hyper-parameters.
+
+    Mirrors the reference PyTorch loop defaults
+    (Data_From_Carla/Agent/drl_library/dqn/dqn.py:253-271): epsilon
+    schedule 0.9->0.1 over 1e6 frames, beta schedule 0.4->1.0 over 1e3,
+    prioritized replay alpha 0.6, target update every 10k frames.
+    """
+
+    gamma: float = 0.95
+    lr: float = 1e-3
+    batch_size: int = 32
+    replay_capacity: int = 1 << 20
+    priority_alpha: float = 0.6
+    beta_start: float = 0.4
+    beta_frames: int = 1000
+    epsilon_start: float = 0.9
+    epsilon_final: float = 0.1
+    epsilon_decay: float = 1_000_000.0
+    target_update_every: int = 10_000
+    no_data_punishment: float = -10.0
+    ucb_c: float = 5.0
+    hidden_dim: int = 128
+    attention_width: int = 3
+    token_dim: int = 5
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for multi-host scaling: envs shard over the
+    'env' axis, the confidence dataset shards over the 'store' axis."""
+
+    env_axis: str = "env"
+    store_axis: str = "store"
+
+
+@dataclasses.dataclass(frozen=True)
+class DCARLConfig:
+    confidence: ConfidenceConfig = ConfidenceConfig()
+    store: StoreConfig = StoreConfig()
+    werling: WerlingConfig = WerlingConfig()
+    env: EnvConfig = EnvConfig()
+    dqn: DQNConfig = DQNConfig()
+    mesh: MeshConfig = MeshConfig()
+
+
+DEFAULT = DCARLConfig()

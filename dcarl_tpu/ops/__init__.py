@@ -1,0 +1,3 @@
+from dcarl_tpu.ops import geometry as geometry
+from dcarl_tpu.ops import spline as spline
+from dcarl_tpu.ops import polynomial as polynomial
