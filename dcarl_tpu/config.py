@@ -140,7 +140,7 @@ class EnvConfig:
     num_vehicles: int = 6         # scripted traffic
     state_dim: int = 20
     action_dim: int = 11
-    collision_radius: float = 2.0
+    collision_radius: float = 1.0
     pedestrian_speed: float = 0.9
     stuck_speed: float = 0.1
     stuck_time: float = 2.0

@@ -1,0 +1,2 @@
+from dcarl_tpu.planning import predictor as predictor
+from dcarl_tpu.planning import werling as werling
