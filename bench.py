@@ -1,0 +1,108 @@
+"""DCARL-TPU benchmark.
+
+Measures the north-star metric: env-steps/s of the full vectorized
+driving stack (env physics + Werling lattice + collision gating +
+pure-pursuit control, all under one jit), plus batched
+confidence-evals/s of the Pallas store kernel as a secondary number.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+vs_baseline scales against the driver target of >=10M env-steps/s
+aggregate on a 16-chip v5p (625k/chip); the reference itself publishes
+no throughput numbers (BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def bench_env_steps(batch: int, steps: int, repeats: int = 3):
+    import jax
+
+    from dcarl_tpu.env.scenario import t_intersection
+    from dcarl_tpu.planning.rollout import make_rule_driver
+
+    sc = t_intersection()
+    init_fn, run_fn = make_rule_driver(sc)
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    carry = init_fn(keys)
+    step_keys = jax.random.split(
+        jax.random.PRNGKey(1), batch * steps).reshape(batch, steps, 2)
+
+    # warmup/compile
+    carry, out = run_fn(carry, step_keys)
+    jax.block_until_ready(out[0])
+
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        carry, out = run_fn(carry, step_keys)
+        jax.block_until_ready(out[0])
+        best = min(best, time.perf_counter() - t0)
+    return batch * steps / best
+
+
+def bench_confidence_evals(n_rows: int, n_queries: int, repeats: int = 5):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dcarl_tpu.core.store import FIELD_HALF_WIDTHS, _raw_moments
+    from dcarl_tpu.ops.pallas_store import box_query_moments_pallas
+
+    rng = np.random.default_rng(0)
+    d = len(FIELD_HALF_WIDTHS)
+    keys = jnp.asarray(rng.normal(0, 5, (n_rows, d)), jnp.float32)
+    values = jnp.asarray(rng.normal(0, 1, n_rows), jnp.float32)
+    valid = jnp.ones((n_rows,), bool)
+    queries = jnp.asarray(rng.normal(0, 5, (n_queries, d)), jnp.float32)
+    w = jnp.asarray(FIELD_HALF_WIDTHS, jnp.float32)
+
+    on_tpu = jax.default_backend() == "tpu"
+    fn = box_query_moments_pallas if on_tpu else _raw_moments
+    args = (keys, values, valid, queries, w)
+    f = jax.jit(lambda *a: fn(*a))
+    f(*args).block_until_ready()
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = f(*args)
+        out.block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    return n_queries / best
+
+
+def main():
+    import jax
+
+    backend = jax.default_backend()
+    if backend == "tpu":
+        batch, steps = 4096, 100
+        store_rows, store_queries = 1 << 16, 4096
+    else:  # CPU smoke mode
+        batch, steps = 64, 50
+        store_rows, store_queries = 4096, 256
+
+    env_rate = bench_env_steps(batch, steps)
+    conf_rate = bench_confidence_evals(store_rows, store_queries)
+
+    target_per_chip = 625_000.0  # 10M aggregate / 16 chips (BASELINE.json)
+    print(json.dumps({
+        "metric": "env-steps/s per chip (vectorized driving env)",
+        "value": round(env_rate, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(env_rate / target_per_chip, 4),
+        "confidence_evals_per_s": round(conf_rate, 1),
+        "confidence_store_rows": store_rows,
+        "env_batch": batch,
+        "backend": backend,
+    }))
+
+
+if __name__ == "__main__":
+    main()

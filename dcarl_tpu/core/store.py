@@ -1,0 +1,166 @@
+"""Continuous-state confidence store — the R-tree replacement.
+
+The reference's on-vehicle RLS keeps every visited (state, action) as a
+box in a libspatialindex R-tree with per-dimension half-widths and
+answers two queries per candidate action per decision tick
+(deepq/RLS.py:161-181):
+
+* visited_times: how many stored boxes contain the query point,
+* mean/var of the stored values among those matches.
+
+A pointer-chasing spatial tree is the wrong shape for TPU.  Here the
+dataset is a fixed-capacity structure-of-arrays; a box query is a
+*masked matmul*: build the [Q, N] containment mask on the VPU, then
+reduce (count, sum(v), sum(v^2)) as one [Q, N] x [N, 3] contraction on
+the MXU.  Batched queries for thousands of envs are one kernel; shards
+of the dataset across devices combine with ``psum`` of the partial
+moments (see :mod:`dcarl_tpu.parallel`).
+
+Semantics parity: containment is ``all(|key_d - q_d| <= w_d)`` — a
+point query intersecting stored boxes ``[key - w, key + w]`` exactly as
+``rtree.Index.intersection`` with the reference's ``visited_state_dist``
+half-widths (RLS.py:68, :195-196).  Variance is the population variance
+(``np.var``), and empty matches report mean/var/sigma = -1
+(RLS.py:168-169).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dcarl_tpu.config import StoreConfig
+
+# Half-widths of the 21-D (20-D obs + action) query box, from
+# deepq/RLS.py:68.  Action half-width 0.1 => action matches exactly.
+FIELD_HALF_WIDTHS = (
+    1.0, 0.3, 2.0, 50.0,
+    10.0, 0.3, 2.0, 50.0,
+    10.0, 0.3, 2.0, 50.0,
+    10.0, 0.3, 2.0, 50.0,
+    10.0, 0.3, 2.0, 50.0,
+    0.1,
+)
+
+
+class ConfidenceStore(NamedTuple):
+    """Fixed-capacity {key, action, value} dataset (SoA layout)."""
+
+    keys: jax.Array     # [N, D] state||action keys
+    actions: jax.Array  # [N] recorded action (visited_state_value[:, 0])
+    values: jax.Array   # [N] recorded return (visited_state_value[:, 1])
+    size: jax.Array     # i32 valid rows (== min(total, N))
+    head: jax.Array     # i32 next write slot (ring overwrite when full)
+
+
+def store_init(capacity: int, key_dim: int, dtype=jnp.float32) -> ConfidenceStore:
+    return ConfidenceStore(
+        keys=jnp.zeros((capacity, key_dim), dtype),
+        actions=jnp.zeros((capacity,), dtype),
+        values=jnp.zeros((capacity,), dtype),
+        size=jnp.zeros((), jnp.int32),
+        head=jnp.zeros((), jnp.int32),
+    )
+
+
+def store_insert(
+    store: ConfidenceStore,
+    keys: jax.Array,     # [M, D]
+    actions: jax.Array,  # [M]
+    values: jax.Array,   # [M]
+    mask: jax.Array,     # [M] bool — which rows are real
+) -> ConfidenceStore:
+    """Masked batched append.  The reference's dataset grows without
+    bound (append-only text + R-tree insert, RLS.py:185-215); under
+    fixed shapes we ring-overwrite the oldest rows once full — the
+    checkpointing layer persists the full history off-device."""
+    capacity = store.keys.shape[0]
+    keys = keys.astype(store.keys.dtype)
+    actions = actions.astype(store.actions.dtype)
+    values = values.astype(store.values.dtype)
+    m = mask.astype(jnp.int32)
+    offsets = jnp.cumsum(m) - m  # position among the valid rows
+    slots = (store.head + offsets) % capacity
+    # invalid rows write to their own current content (no-op scatter)
+    safe_slots = jnp.where(mask, slots, capacity)  # OOB drops in scatter
+
+    keys_new = store.keys.at[safe_slots].set(keys, mode="drop")
+    actions_new = store.actions.at[safe_slots].set(actions, mode="drop")
+    values_new = store.values.at[safe_slots].set(values, mode="drop")
+    n_added = jnp.sum(m)
+    return ConfidenceStore(
+        keys=keys_new,
+        actions=actions_new,
+        values=values_new,
+        size=jnp.minimum(store.size + n_added, capacity),
+        head=(store.head + n_added) % capacity,
+    )
+
+
+class QueryStats(NamedTuple):
+    count: jax.Array  # [Q] i32 visited times
+    mean: jax.Array   # [Q] (-1 where count == 0)
+    var: jax.Array    # [Q] (-1 where count == 0)
+    sigma: jax.Array  # [Q] (-1 where count == 0)
+
+
+def _raw_moments(
+    keys: jax.Array, values: jax.Array, valid: jax.Array,
+    queries: jax.Array, half_widths: jax.Array,
+) -> jax.Array:
+    """[Q, 3] partial moments (count, sum, sumsq) of values whose keys
+    contain each query.  The mask-matmul core shared by the XLA path and
+    the sharded reduction."""
+    inside = jnp.abs(keys[None, :, :] - queries[:, None, :]) <= half_widths
+    mask = (jnp.all(inside, axis=-1) & valid[None, :]).astype(values.dtype)
+    feats = jnp.stack(
+        [jnp.ones_like(values), values, values * values], axis=1)  # [N, 3]
+    return jax.lax.dot_general(
+        mask, feats, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def moments_to_stats(moments: jax.Array) -> QueryStats:
+    """Finish (count, sum, sumsq) -> (count, mean, var, sigma) with the
+    reference's empty-match sentinel of -1 (RLS.py:168-169)."""
+    count = moments[:, 0]
+    nf = jnp.maximum(count, 1.0)
+    mean = moments[:, 1] / nf
+    var = jnp.maximum(moments[:, 2] / nf - mean * mean, 0.0)
+    empty = count == 0
+    return QueryStats(
+        count=count.astype(jnp.int32),
+        mean=jnp.where(empty, -1.0, mean),
+        var=jnp.where(empty, -1.0, var),
+        sigma=jnp.where(empty, -1.0, jnp.sqrt(var)),
+    )
+
+
+def box_query_stats(
+    store: ConfidenceStore,
+    queries: jax.Array,             # [Q, D]
+    half_widths: jax.Array,         # [D]
+    use_pallas: Optional[bool] = None,
+) -> QueryStats:
+    """Visited-times + value statistics for a batch of query points
+    (_calculate_visited_times / _calculate_statistics_index,
+    RLS.py:161-181)."""
+    capacity = store.keys.shape[0]
+    valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0).squeeze(-1)
+        < store.size
+    )
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from dcarl_tpu.ops.pallas_store import box_query_moments_pallas
+
+        moments = box_query_moments_pallas(
+            store.keys, store.values, valid, queries, half_widths)
+    else:
+        moments = _raw_moments(store.keys, store.values, valid, queries,
+                               half_widths)
+    return moments_to_stats(moments)

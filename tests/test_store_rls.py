@@ -1,0 +1,223 @@
+"""Confidence store + RLS selection tests against brute-force numpy
+oracles of the reference semantics (deepq/RLS.py)."""
+
+from collections import deque
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from dcarl_tpu.config import StoreConfig
+from dcarl_tpu.core import rls as R
+from dcarl_tpu.core import store as S
+
+CFG = StoreConfig(capacity=512, key_dim=5, n_step_window=10)
+
+
+def _fill_store(rng, n, d, capacity=512):
+    store = S.store_init(capacity, d)
+    keys = rng.normal(0, 5, (n, d))
+    actions = rng.integers(0, 8, n).astype(float)
+    keys[:, -1] = actions
+    values = rng.normal(0, 1, n)
+    store = S.store_insert(store, jnp.asarray(keys, jnp.float32),
+                           jnp.asarray(actions, jnp.float32),
+                           jnp.asarray(values, jnp.float32),
+                           jnp.ones((n,), bool))
+    return store, keys, values
+
+
+def _oracle_stats(keys, values, q, w):
+    inside = np.all(np.abs(keys - q) <= w, axis=1)
+    cnt = int(inside.sum())
+    if cnt == 0:
+        return 0, -1.0, -1.0
+    v = values[inside]
+    return cnt, float(v.mean()), float(v.var())
+
+
+def test_box_query_matches_oracle():
+    rng = np.random.default_rng(0)
+    d = 5
+    store, keys, values = _fill_store(rng, 300, d)
+    w = np.array([1.0, 2.0, 0.5, 3.0, 0.1])
+    queries = rng.normal(0, 5, (64, d))
+    queries[:, -1] = rng.integers(0, 8, 64)
+
+    stats = S.box_query_stats(store, jnp.asarray(queries, jnp.float32),
+                              jnp.asarray(w, jnp.float32), use_pallas=False)
+    for i in range(64):
+        cnt, mean, var = _oracle_stats(keys, values, queries[i], w)
+        assert int(stats.count[i]) == cnt, i
+        np.testing.assert_allclose(float(stats.mean[i]), mean, atol=1e-4)
+        np.testing.assert_allclose(float(stats.var[i]), var, atol=1e-4)
+
+
+def test_pallas_kernel_interpret_matches_xla():
+    rng = np.random.default_rng(1)
+    d = 21
+    n, q = 700, 40
+    keys = jnp.asarray(rng.normal(0, 5, (n, d)), jnp.float32)
+    values = jnp.asarray(rng.normal(0, 1, n), jnp.float32)
+    valid = jnp.asarray(rng.random(n) < 0.8)
+    queries = jnp.asarray(rng.normal(0, 5, (q, d)), jnp.float32)
+    w = jnp.asarray(np.abs(rng.normal(2, 1, d)) + 0.5, jnp.float32)
+
+    from dcarl_tpu.core.store import _raw_moments
+    from dcarl_tpu.ops.pallas_store import box_query_moments_pallas
+
+    ref = np.asarray(_raw_moments(keys, values, valid, queries, w))
+    got = np.asarray(box_query_moments_pallas(
+        keys, values, valid, queries, w,
+        q_tile=16, n_tile=256, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-3)
+
+
+def test_store_ring_overwrite():
+    d = 3
+    store = S.store_init(4, d)
+    for i in range(6):
+        store = S.store_insert(
+            store,
+            jnp.full((1, d), float(i)),
+            jnp.asarray([float(i)]),
+            jnp.asarray([float(i)]),
+            jnp.ones((1,), bool))
+    assert int(store.size) == 4
+    # oldest rows (0, 1) overwritten by (4, 5)
+    vals = sorted(np.asarray(store.values).tolist())
+    assert vals == [2.0, 3.0, 4.0, 5.0]
+
+
+def test_masked_insert_skips_invalid():
+    d = 2
+    store = S.store_init(8, d)
+    keys = jnp.asarray([[1.0, 0], [2.0, 0], [3.0, 0]])
+    mask = jnp.asarray([True, False, True])
+    store = S.store_insert(store, keys, jnp.zeros(3), jnp.asarray([1., 2., 3.]),
+                           mask)
+    assert int(store.size) == 2
+    assert sorted(np.asarray(store.values[:2]).tolist()) == [1.0, 3.0]
+
+
+def _stats_from_arrays(count, mean, var):
+    count = jnp.asarray(count, jnp.float32)
+    mean = jnp.asarray(mean, jnp.float32)
+    var = jnp.asarray(var, jnp.float32)
+    return R.ActionStats(count=count, mean=mean, var=var,
+                         sigma=jnp.sqrt(jnp.maximum(var, 0)))
+
+
+def test_act_test_welch_semantics():
+    cfg = StoreConfig()
+    # rule: well-explored, poor mean; candidate 3 clearly better
+    count = [[40, 2, 10, 30, 10, 10, 10, 10]]
+    mean = [[-0.5, 5.0, -0.6, 0.4, -0.55, -0.5, -0.5, -0.5]]
+    var = [[0.1] * 8]
+    a = R.act_test(_stats_from_arrays(count, mean, var), cfg)
+    # candidate 1 has only 2 visits (skipped), candidate 2 is worse
+    # (z<0 -> cdf<0.5), candidate 3 passes
+    assert int(a[0]) == 3
+
+    # rule near-optimal -> always rule (mean_rule > -0.1 skip)
+    mean2 = [[-0.05, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0]]
+    a2 = R.act_test(_stats_from_arrays(count, mean2, var), cfg)
+    assert int(a2[0]) == 0
+
+    # rule under-explored -> rule
+    count3 = [[3, 100, 100, 100, 100, 100, 100, 100]]
+    a3 = R.act_test(_stats_from_arrays(count3, mean, var), cfg)
+    assert int(a3[0]) == 0
+
+    # lowest-index passing candidate wins (reference loop order)
+    mean4 = [[-0.5, -0.5, 1.0, 2.0, -0.5, -0.5, -0.5, -0.5]]
+    count4 = [[40, 10, 10, 10, 10, 10, 10, 10]]
+    a4 = R.act_test(_stats_from_arrays(count4, mean4, var), cfg)
+    assert int(a4[0]) == 2
+
+
+def test_act_train_gating():
+    cfg = StoreConfig()
+    key = jax.random.PRNGKey(0)
+    # under-explored rule -> forced rule regardless of RL action
+    stats = _stats_from_arrays([[3] + [50] * 7], [[-0.5] * 8], [[0.1] * 8])
+    a = R.act_train(stats, jnp.asarray([5]), key, cfg)
+    assert int(a[0]) == 0
+    # well-explored, very poor rule mean (-1 <= draw < 0 always >= -1
+    # > mean) -> RL action passes through
+    stats2 = _stats_from_arrays([[100] + [50] * 7], [[-1.5] * 8], [[0.1] * 8])
+    a2 = R.act_train(stats2, jnp.asarray([5]), key, cfg)
+    assert int(a2[0]) == 5
+    # mean_rule = -1 sentinel (no data but count thres met is impossible;
+    # still: draw in (-1,0) > -1 -> rule)  [explore < mean never true]
+    stats3 = _stats_from_arrays([[100] + [50] * 7], [[0.5] * 8], [[0.1] * 8])
+    a3 = R.act_train(stats3, jnp.asarray([2]), key, cfg)
+    assert int(a3[0]) == 0  # mean 0.5 > any U(-1,0) draw -> rule good
+
+
+class _DequeOracle:
+    """Reference add_data trajectory bookkeeping (RLS.py:185-215)."""
+
+    def __init__(self, gamma=0.95):
+        self.buf = deque(maxlen=20)
+        self.gamma = gamma
+        self.records = []
+
+    def add(self, obs, action, rew, done):
+        self.buf.append((obs, action, rew))
+        while len(self.buf) > 10:
+            o, a, r = self.buf.popleft()
+            self.records.append((tuple(o) + (a,), a, r))
+        if done:
+            _, _, rew_right = self.buf[-1]
+            while len(self.buf) > 0:
+                o, a, r = self.buf.popleft()
+                v = rew_right * self.gamma ** len(self.buf)
+                self.records.append((tuple(o) + (a,), a, v))
+
+
+def test_trajectory_buffer_matches_deque_oracle():
+    rng = np.random.default_rng(2)
+    cfg = StoreConfig()
+    obs_dim = 4
+    buf = R.traj_buffer_init(cfg.n_step_window, obs_dim)
+    oracle = _DequeOracle(cfg.gamma)
+    got = []
+
+    for step in range(60):
+        obs = rng.normal(0, 1, obs_dim).astype(np.float32)
+        action = float(rng.integers(0, 8))
+        rew = float(rng.normal(0, 1))
+        done = step in (24, 42, 47)  # episode ends incl. short episodes
+
+        buf, recs = R.traj_buffer_push(
+            buf, jnp.asarray(obs), jnp.asarray(action), jnp.asarray(rew),
+            jnp.asarray(done), cfg)
+        oracle.add(obs, action, rew, done)
+
+        valid = np.asarray(recs.valid)
+        for i in np.where(valid)[0]:
+            got.append((tuple(np.asarray(recs.keys[i])),
+                        float(recs.actions[i]), float(recs.values[i])))
+
+    assert len(got) == len(oracle.records)
+    for (gk, ga, gv), (ok, oa, ov) in zip(got, oracle.records):
+        np.testing.assert_allclose(gk, ok, atol=1e-5)
+        assert ga == oa
+        np.testing.assert_allclose(gv, ov, atol=1e-5)
+
+
+def test_insert_records_roundtrip():
+    cfg = StoreConfig()
+    store = S.store_init(256, 5)
+    buf = R.traj_buffer_init(cfg.n_step_window, 4)
+    rng = np.random.default_rng(3)
+    for step in range(30):
+        obs = jnp.asarray(rng.normal(0, 1, 4), jnp.float32)
+        buf, recs = R.traj_buffer_push(
+            buf, obs, jnp.asarray(1.0), jnp.asarray(0.5),
+            jnp.asarray(step == 29), cfg)
+        store = R.insert_records(store, recs)
+    # 30 pushes: 20 flushes (steps 10..29 pre-done) + terminal backfill 10
+    assert int(store.size) == 30
