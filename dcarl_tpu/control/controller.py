@@ -16,13 +16,10 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from dcarl_tpu.ops.geometry import resample_polyline
-
 PID_KP = 0.25 / 3.6
 LF = 1.2
 LR = 1.95
 LWB = LF + LR
-DENSE_POINTS = 512  # static stand-in for 0.1 m resampling of <=50 m paths
 
 
 class ControlAction(NamedTuple):
@@ -46,19 +43,25 @@ def _lookahead_distance(v):
 
 def pure_pursuit(ego_x, ego_y, ego_yaw, ego_v, trajectory_xy) -> jax.Array:
     """PurePuesuitController.run_step (controller.py:97-186): find the
-    lookahead point on the densified trajectory, then the pure-pursuit
-    steering law about the rear axle."""
-    dense = resample_polyline(trajectory_xy, DENSE_POINTS)
+    lookahead point on the trajectory, then the pure-pursuit steering
+    law about the rear axle.
+
+    The reference densifies the trajectory to 0.1 m and picks the first
+    dense point past the lookahead arc length; here the lookahead point
+    is interpolated *exactly* on the original polyline — same geometry
+    without the 512-point resample (which dominated the TPU step cost:
+    per-env gathers with a tiny lane dimension)."""
     ego = jnp.stack([ego_x, ego_y])
 
-    start_idx = jnp.argmin(jnp.sum((dense - ego) ** 2, axis=1))
-    seg = jnp.linalg.norm(jnp.diff(dense, axis=0), axis=1)
-    cum = jnp.cumsum(seg)  # cum[i] = arc length to point i+1 (reference layout)
-    target_s = cum[jnp.clip(start_idx, 0, cum.shape[0] - 1)] \
-        + _lookahead_distance(ego_v)
-    end_idx = jnp.clip(jnp.searchsorted(cum, target_s, side="right"),
-                       start_idx, dense.shape[0] - 1)
-    wp = dense[end_idx]
+    d2 = jnp.sum((trajectory_xy - ego) ** 2, axis=1)
+    start_idx = jnp.argmin(d2)
+    seg = jnp.linalg.norm(jnp.diff(trajectory_xy, axis=0), axis=1)
+    cum = jnp.concatenate([jnp.zeros((1,), seg.dtype), jnp.cumsum(seg)])
+    target_s = cum[start_idx] + _lookahead_distance(ego_v)
+    # interpolate the exact lookahead point (clamps to the path end)
+    wp_x = jnp.interp(target_s, cum, trajectory_xy[:, 0])
+    wp_y = jnp.interp(target_s, cum, trajectory_xy[:, 1])
+    wp = jnp.stack([wp_x, wp_y])
 
     v_vec = jnp.stack([jnp.cos(ego_yaw), jnp.sin(ego_yaw)])
     w_vec = wp - ego
