@@ -33,10 +33,16 @@ class Replay(NamedTuple):
     head: jax.Array       # i32
 
 
-def replay_init(capacity: int, obs_dim: int, dtype=jnp.float32) -> Replay:
+def replay_init(capacity: int, obs_dim: int, dtype=jnp.float32,
+                action_shape: tuple = (), action_dtype=None) -> Replay:
+    """Discrete by default (scalar i32 actions); pass
+    ``action_shape=(A,)`` for continuous-control buffers (the fork's
+    DDPG/TD3/SAC ReplayBuffer stores float action vectors)."""
+    if action_dtype is None:
+        action_dtype = jnp.int32 if action_shape == () else dtype
     return Replay(
         obs=jnp.zeros((capacity, obs_dim), dtype),
-        action=jnp.zeros((capacity,), jnp.int32),
+        action=jnp.zeros((capacity,) + tuple(action_shape), action_dtype),
         reward=jnp.zeros((capacity,), dtype),
         next_obs=jnp.zeros((capacity, obs_dim), dtype),
         done=jnp.zeros((capacity,), dtype),
@@ -67,8 +73,8 @@ def replay_push(
     dt = replay.obs.dtype
     return Replay(
         obs=replay.obs.at[slots].set(obs.astype(dt), mode="drop"),
-        action=replay.action.at[slots].set(action.astype(jnp.int32),
-                                           mode="drop"),
+        action=replay.action.at[slots].set(
+            action.astype(replay.action.dtype), mode="drop"),
         reward=replay.reward.at[slots].set(reward.astype(dt), mode="drop"),
         next_obs=replay.next_obs.at[slots].set(next_obs.astype(dt),
                                                mode="drop"),

@@ -1,0 +1,185 @@
+"""Cognition layer tests — lane locating, map-state construction, path
+buffer, drivable boundary (reference: obstacle_locator.py,
+path_buffer.py, driving_space_constructor.py — which ship untested;
+these pin the documented semantics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dcarl_tpu.cognition import (EgoPose, MapModel, PathBufferState,
+                                 StaticLocalMap, TrackedObjects,
+                                 dynamic_boundary, locate_objects_in_lane,
+                                 path_buffer_init, path_buffer_update,
+                                 update_map_state)
+
+
+def straight_map(L=2, n=50, lane_sep=3.5, length=100.0):
+    xs = jnp.linspace(0.0, length, n)
+    lanes = jnp.stack([
+        jnp.stack([xs, jnp.full((n,), i * lane_sep)], axis=1)
+        for i in range(L)])
+    tangents = jnp.zeros((L, n))
+    return StaticLocalMap(
+        lanes=lanes, tangents=tangents,
+        speed_limit=jnp.full((L,), 15.0),
+        stop_thru=jnp.ones((L,), bool),
+        target_lane_index=jnp.asarray(1),
+    )
+
+
+def no_objects(K=4):
+    z = jnp.zeros((K,))
+    return TrackedObjects(x=z + 1e4, y=z, vx=z, vy=z, yaw=z,
+                          valid=jnp.zeros((K,), bool))
+
+
+def test_locate_on_lane_center():
+    smap = straight_map()
+    idx = locate_objects_in_lane(jnp.asarray(50.0), jnp.asarray(0.0),
+                                 smap.lanes)
+    assert float(idx) == pytest.approx(0.0, abs=1e-6)
+    idx = locate_objects_in_lane(jnp.asarray(50.0), jnp.asarray(3.5),
+                                 smap.lanes)
+    assert float(idx) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_locate_between_lanes_interpolates():
+    smap = straight_map()
+    idx = locate_objects_in_lane(jnp.asarray(50.0), jnp.asarray(1.75),
+                                 smap.lanes)
+    assert float(idx) == pytest.approx(0.5, abs=1e-6)
+    idx = locate_objects_in_lane(jnp.asarray(50.0), jnp.asarray(0.875),
+                                 smap.lanes)
+    assert float(idx) == pytest.approx(0.25, abs=1e-6)
+
+
+def test_locate_far_off_lane_returns_sentinel():
+    smap = straight_map()
+    idx = locate_objects_in_lane(jnp.asarray(50.0), jnp.asarray(-30.0),
+                                 smap.lanes)
+    assert float(idx) == -1.0
+
+
+def test_ego_midlane_multilane_model():
+    smap = straight_map()
+    ego = EgoPose(x=jnp.asarray(50.0), y=jnp.asarray(0.0),
+                  vx=jnp.asarray(5.0), vy=jnp.asarray(0.0),
+                  yaw=jnp.asarray(0.0))
+    mmap, model, _ = update_map_state(smap, ego, no_objects())
+    assert int(model) == MapModel.MULTILANE
+    assert float(mmap.ego_lane_index) == pytest.approx(0.0, abs=1e-6)
+    assert float(mmap.ego_speed) == pytest.approx(5.0)
+    assert float(mmap.distance_to_junction) == pytest.approx(50.0, abs=1e-5)
+    assert not bool(mmap.front.exists[0])
+    assert not bool(mmap.rear.exists[0])
+
+
+def test_ego_near_lane_end_junction_model():
+    smap = straight_map()
+    ego = EgoPose(x=jnp.asarray(90.0), y=jnp.asarray(0.0),
+                  vx=jnp.asarray(5.0), vy=jnp.asarray(0.0),
+                  yaw=jnp.asarray(0.0))
+    _, model, _ = update_map_state(smap, ego, no_objects())
+    assert int(model) == MapModel.JUNCTION  # dist to tail 10 <= 15
+
+
+def test_front_rear_assignment():
+    smap = straight_map()
+    ego = EgoPose(x=jnp.asarray(50.0), y=jnp.asarray(0.0),
+                  vx=jnp.asarray(5.0), vy=jnp.asarray(0.0),
+                  yaw=jnp.asarray(0.0))
+    objs = TrackedObjects(
+        x=jnp.asarray([70.0, 30.0, 60.0, 55.0]),
+        y=jnp.asarray([0.0, 0.0, 3.5, 0.0]),
+        vx=jnp.asarray([8.0, 4.0, 6.0, 7.0]),
+        vy=jnp.zeros((4,)),
+        yaw=jnp.zeros((4,)),
+        valid=jnp.asarray([True, True, True, True]),
+    )
+    mmap, model, behaviors = update_map_state(smap, ego, objs)
+    # nearest front in lane 0 is the 55 m object (rel s = 5)
+    assert bool(mmap.front.exists[0])
+    assert float(mmap.front.s[0]) == pytest.approx(5.0, abs=1e-4)
+    assert float(mmap.front.vs[0]) == pytest.approx(7.0, abs=1e-5)
+    # rear in lane 0 is the 30 m object (rel s = -20)
+    assert bool(mmap.rear.exists[0])
+    assert float(mmap.rear.s[0]) == pytest.approx(-20.0, abs=1e-4)
+    # lane 1 front is the 60 m object
+    assert bool(mmap.front.exists[1])
+    assert float(mmap.front.s[1]) == pytest.approx(10.0, abs=1e-4)
+    # straight drivers follow their lane
+    assert np.all(np.asarray(behaviors) == 0)
+
+
+def test_behavior_lane_change_detection():
+    smap = straight_map()
+    ego = EgoPose(x=jnp.asarray(50.0), y=jnp.asarray(0.0),
+                  vx=jnp.asarray(5.0), vy=jnp.asarray(0.0),
+                  yaw=jnp.asarray(0.0))
+    objs = TrackedObjects(
+        x=jnp.asarray([60.0, 65.0]), y=jnp.asarray([0.0, 0.0]),
+        vx=jnp.asarray([5.0, 5.0]), vy=jnp.asarray([1.5, -1.5]),
+        yaw=jnp.asarray([0.5, -0.5]),   # > 0.2 rad from lane direction
+        valid=jnp.asarray([True, True]))
+    _, _, behaviors = update_map_state(smap, ego, objs)
+    assert int(behaviors[0]) == 1   # MOVING_LEFT
+    assert int(behaviors[1]) == 2   # MOVING_RIGHT
+
+
+def test_path_buffer_window_advances():
+    n = 200
+    route = jnp.stack([jnp.linspace(0, 199.0, n), jnp.zeros((n,))], axis=1)
+    st = path_buffer_init()
+    st, seg, valid, junction = path_buffer_update(
+        st, route, jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(5.0))
+    assert int(st.cursor) == 0
+    assert float(seg[0, 0]) == 0.0
+    assert not bool(junction)
+
+    st, seg, valid, junction = path_buffer_update(
+        st, route, jnp.asarray(50.0), jnp.asarray(0.0), jnp.asarray(5.0))
+    assert int(st.cursor) == 45          # nearest 50 - 5 remained points
+    assert float(seg[0, 0]) == pytest.approx(45.0)
+    assert bool(valid.all())
+
+    # near the route end: junction fallback + rerouting when stopped
+    st, seg, valid, junction = path_buffer_update(
+        st, route, jnp.asarray(195.0), jnp.asarray(0.0), jnp.asarray(0.1))
+    assert bool(junction)
+    assert bool(st.rerouting)
+    assert not bool(valid.all())
+
+
+def test_path_buffer_cursor_monotone():
+    n = 100
+    route = jnp.stack([jnp.linspace(0, 99.0, n), jnp.zeros((n,))], axis=1)
+    st = path_buffer_init()
+    st, *_ = path_buffer_update(st, route, jnp.asarray(50.0),
+                                jnp.asarray(0.0), jnp.asarray(5.0))
+    c = int(st.cursor)
+    # ego appears to jump backwards — the buffer must not rewind
+    st, *_ = path_buffer_update(st, route, jnp.asarray(10.0),
+                                jnp.asarray(0.0), jnp.asarray(5.0))
+    assert int(st.cursor) == c
+
+
+def test_dynamic_boundary_obstacle_shadows_static():
+    # square static area around the ego, one obstacle to the east
+    theta = jnp.linspace(-jnp.pi, jnp.pi, 400, endpoint=False)
+    poly = jnp.stack([20.0 * jnp.cos(theta), 20.0 * jnp.sin(theta)], axis=1)
+    b = dynamic_boundary(
+        jnp.asarray(0.0), jnp.asarray(0.0), poly,
+        obs_x=jnp.asarray([8.0]), obs_y=jnp.asarray([0.0]),
+        obs_vx=jnp.asarray([3.0]), obs_vy=jnp.asarray([0.0]),
+        obs_yaw=jnp.asarray([0.0]), obs_valid=jnp.asarray([True]),
+        num_bins=128)
+    east = 64  # bin of angle ~0
+    # obstacle front edge at x≈5.75 shadows the static circle at 20
+    assert float(b.dist[east]) < 7.0
+    assert float(b.vx[east]) == pytest.approx(3.0)
+    # north is still the static boundary with zero velocity
+    north = 96
+    assert float(b.dist[north]) == pytest.approx(20.0, abs=0.5)
+    assert float(b.vx[north]) == 0.0
