@@ -2,8 +2,9 @@
 
 The reference vendors a stable-baselines fork (TF1, ~25.9k LoC) whose
 algorithms define the capability surface its DCARL agent server runs on
-(software/src/tools/DCARL/stable_baselines/: A2C, PPO, DDPG, SAC, TD3,
-TRPO, HER, DQN).  Here each algorithm is a pure-functional JAX learner:
+(software/src/tools/DCARL/stable_baselines/: A2C, ACER, ACKTR, PPO1,
+PPO2, DDPG, SAC, TD3, TRPO, GAIL, HER, DQN).  Here each algorithm is a
+pure-functional JAX learner:
 ``make_<algo>()`` returns jitted ``init / act / update`` functions over
 an explicit train-state pytree, so every learner
 

@@ -32,6 +32,18 @@ class PPOConfig(NamedTuple):
     max_grad_norm: float = 0.5
     n_epochs: int = 4
     n_minibatches: int = 4
+    # PPO1 (pposgd_simple.py:50-53, schedule='linear'): anneal both the
+    # clip range and the learning rate to 0 over total_updates.
+    anneal_updates: int = 0        # 0 = constant (PPO2 default)
+
+
+def ppo1_config(total_updates: int) -> PPOConfig:
+    """The fork's PPO1 surface (pposgd_simple.py:50-53): 256-step actor
+    batches, clip 0.2, Adam 1e-3/eps 1e-5, lambda 0.95, 4 optimizer
+    epochs, linear annealing — as a PPOConfig."""
+    return PPOConfig(n_steps=256, lam=0.95, clip_range=0.2,
+                     learning_rate=1e-3, ent_coef=0.01, n_epochs=4,
+                     n_minibatches=4, anneal_updates=total_updates)
 
 
 class PPOState(NamedTuple):
@@ -49,8 +61,14 @@ def make_ppo(env: EnvFns, cfg: PPOConfig = PPOConfig(), hidden=(64, 64),
         net = nets.CategoricalActorCritic(env.num_actions, hidden)
     else:
         net = nets.GaussianActorCritic(env.action_dim, hidden)
+    if cfg.anneal_updates:
+        lr = optax.linear_schedule(
+            cfg.learning_rate, 0.0,
+            cfg.anneal_updates * cfg.n_epochs * cfg.n_minibatches)
+    else:
+        lr = cfg.learning_rate
     tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm),
-                     optax.adam(cfg.learning_rate, eps=1e-5))
+                     optax.adam(lr, eps=1e-5))
 
     def log_prob_value(params, obs, action):
         if discrete:
@@ -75,20 +93,26 @@ def make_ppo(env: EnvFns, cfg: PPOConfig = PPOConfig(), hidden=(64, 64),
         return PPOState(params, tx.init(params), env_state, obs,
                         jnp.zeros((), jnp.int32))
 
-    def minibatch_loss(params, mb):
+    def minibatch_loss(params, mb, clip):
         obs, action, old_logp, adv, ret = mb
         logp, ent, value = log_prob_value(params, obs, action)
         ratio = jnp.exp(logp - old_logp)
         adv_n = (adv - jnp.mean(adv)) / (jnp.std(adv) + 1e-8)
         pg = -jnp.mean(jnp.minimum(
             ratio * adv_n,
-            jnp.clip(ratio, 1.0 - cfg.clip_range, 1.0 + cfg.clip_range)
-            * adv_n))
+            jnp.clip(ratio, 1.0 - clip, 1.0 + clip) * adv_n))
         vf = 0.5 * jnp.mean((value - ret) ** 2)
         return pg + cfg.vf_coef * vf - cfg.ent_coef * jnp.mean(ent), (pg, vf)
 
     def update_fn(state: PPOState, key):
         k_roll, k_perm = jax.random.split(key)
+        if cfg.anneal_updates:
+            frac = jnp.maximum(
+                0.0, 1.0 - state.step.astype(jnp.float32)
+                / cfg.anneal_updates)
+        else:
+            frac = jnp.asarray(1.0)
+        clip = cfg.clip_range * frac
         policy = partial(sample, state.params)
         env_state, obs, traj = collect_rollout(
             env, policy, state.env_state, state.obs, k_roll, cfg.n_steps)
@@ -116,7 +140,8 @@ def make_ppo(env: EnvFns, cfg: PPOConfig = PPOConfig(), hidden=(64, 64),
                 sel = jax.lax.dynamic_slice_in_dim(perm, mb_idx * mb_size,
                                                    mb_size)
                 mb = jax.tree.map(lambda a: a[sel], flat)
-                grads, aux = jax.grad(minibatch_loss, has_aux=True)(p, mb)
+                grads, aux = jax.grad(minibatch_loss, has_aux=True)(p, mb,
+                                                                    clip)
                 grads = maybe_pmean(grads, axis_name)
                 updates, o = tx.update(grads, o, p)
                 return (optax.apply_updates(p, updates), o), aux

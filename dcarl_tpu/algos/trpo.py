@@ -108,11 +108,10 @@ def make_trpo(env: EnvFns, cfg: TRPOConfig = TRPOConfig(), hidden=(64, 64),
         return TRPOState(params, vtx.init(params), env_state, obs,
                          jnp.zeros((), jnp.int32))
 
-    def update_fn(state: TRPOState, key):
-        env_state, obs, traj = collect_rollout(
-            env, lambda o, k: sample(state.params, o, k),
-            state.env_state, state.obs, key, cfg.n_steps)
-
+    def update_from_traj(state: TRPOState, traj, obs, env_state):
+        """One TRPO policy+value update from an already-collected
+        trajectory (used directly by GAIL, gail/model.py, where the
+        rewards are the adversary's, not the env's)."""
         dist_old, values = dist_and_value(state.params, traj.obs)
         dist_old = jax.tree.map(jax.lax.stop_gradient, dist_old)
         _, last_value = dist_and_value(state.params, obs)
@@ -211,4 +210,12 @@ def make_trpo(env: EnvFns, cfg: TRPOConfig = TRPOConfig(), hidden=(64, 64),
         return TRPOState(params, vf_opt, env_state, obs,
                          state.step + 1), metrics
 
+    def update_fn(state: TRPOState, key):
+        env_state, obs, traj = collect_rollout(
+            env, lambda o, k: sample(state.params, o, k),
+            state.env_state, state.obs, key, cfg.n_steps)
+        return update_from_traj(state, traj, obs, env_state)
+
+    update_fn.from_traj = update_from_traj
+    update_fn.sample = sample
     return init_fn, update_fn

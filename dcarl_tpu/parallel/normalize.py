@@ -35,6 +35,9 @@ def rms_update_from_moments(rms: RunningMeanStd, batch_mean, batch_var,
                             batch_count) -> RunningMeanStd:
     """Chan et al. parallel-variance merge — the exact update of
     running_mean_std.py:21-37."""
+    batch_mean = jnp.asarray(batch_mean, rms.mean.dtype)
+    batch_var = jnp.asarray(batch_var, rms.var.dtype)
+    batch_count = jnp.asarray(batch_count, rms.count.dtype)
     delta = batch_mean - rms.mean
     tot = rms.count + batch_count
     new_mean = rms.mean + delta * batch_count / tot

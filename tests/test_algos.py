@@ -150,3 +150,54 @@ def test_her_dqn_bitflip():
                                          jax.random.PRNGKey(100 + t), 64))
         solved = solved | (rew == 0.0)
     assert float(jnp.mean(solved)) > 0.55, float(jnp.mean(solved))
+
+
+def test_acer_identity():
+    from dcarl_tpu.algos import acer
+    env = common.identity_env(num_actions=3)
+    init_fn, update_fn = acer.make_acer(
+        env, acer.ACERConfig(n_steps=8, buffer_segments=16,
+                             replay_start=2), batch=16)
+    state = init_fn(jax.random.PRNGKey(0))
+    step = jax.jit(update_fn)
+    rewards = []
+    for i in range(150):
+        state, metrics = step(state, jax.random.PRNGKey(1000 + i))
+        rewards.append(float(metrics["reward_mean"]))
+    assert sum(rewards[-20:]) / 20 > 0.9, rewards[-20:]
+
+
+def test_acktr_identity():
+    from dcarl_tpu.algos import acktr
+    env = common.identity_env(num_actions=3)
+    init_fn, update_fn = acktr.make_acktr(env, acktr.ACKTRConfig(n_steps=8))
+    _, rewards = run_updates(init_fn, update_fn, 150, batch=16)
+    assert sum(rewards[-20:]) / 20 > 0.9, rewards[-20:]
+
+
+def test_gail_imitates_expert():
+    import numpy as np
+
+    from dcarl_tpu.algos import gail, nets
+    env = common.identity_env(num_actions=3)
+    ids = np.random.default_rng(0).integers(0, 3, 512)
+    exp_obs = jnp.asarray(np.eye(3)[ids], jnp.float32)
+    exp_act = jnp.asarray(ids)
+    init_fn, update_fn = gail.make_gail(
+        env, exp_obs, exp_act,
+        gail.GAILConfig(trpo=trpo.TRPOConfig(n_steps=16, entcoeff=0.01)))
+    state = init_fn(jax.random.PRNGKey(0), 32)
+    step = jax.jit(update_fn)
+    for i in range(150):
+        state, _ = step(state, jax.random.PRNGKey(1000 + i))
+    logits, _ = nets.CategoricalActorCritic(3, (64, 64)).apply(
+        state.trpo.params, jnp.eye(3, dtype=jnp.float32))
+    assert list(jnp.argmax(logits, -1)) == [0, 1, 2]
+
+
+def test_ppo1_annealed_identity():
+    env = common.identity_env(num_actions=3)
+    cfg = ppo.ppo1_config(total_updates=60)._replace(n_steps=16)
+    init_fn, update_fn = ppo.make_ppo(env, cfg)
+    _, rewards = run_updates(init_fn, update_fn, 60, batch=16)
+    assert sum(rewards[-10:]) / 10 > 0.8, rewards[-10:]
