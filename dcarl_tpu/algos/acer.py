@@ -97,7 +97,8 @@ def _buffer_push(buf: SegmentBuffer, seg) -> SegmentBuffer:
     obs, action, reward, done, mu, next_obs = seg
     i = buf.head
     return SegmentBuffer(
-        buf.obs.at[i].set(obs), buf.action.at[i].set(action),
+        buf.obs.at[i].set(obs),
+        buf.action.at[i].set(action.astype(buf.action.dtype)),
         buf.reward.at[i].set(reward), buf.done.at[i].set(done),
         buf.mu.at[i].set(mu), buf.next_obs.at[i].set(next_obs),
         jnp.minimum(buf.size + 1, buf.obs.shape[0]),

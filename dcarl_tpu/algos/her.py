@@ -105,11 +105,11 @@ def her_buffer_push(buf: HERBuffer, obs, action, next_obs, goal, length
     b = obs.shape[0]
     slots = (buf.head + jnp.arange(b)) % E
     return HERBuffer(
-        obs=buf.obs.at[slots].set(obs),
-        action=buf.action.at[slots].set(action),
-        next_obs=buf.next_obs.at[slots].set(next_obs),
-        goal=buf.goal.at[slots].set(goal),
-        length=buf.length.at[slots].set(length),
+        obs=buf.obs.at[slots].set(obs.astype(buf.obs.dtype)),
+        action=buf.action.at[slots].set(action.astype(buf.action.dtype)),
+        next_obs=buf.next_obs.at[slots].set(next_obs.astype(buf.next_obs.dtype)),
+        goal=buf.goal.at[slots].set(goal.astype(buf.goal.dtype)),
+        length=buf.length.at[slots].set(length.astype(buf.length.dtype)),
         size=jnp.minimum(buf.size + b, E),
         head=(buf.head + b) % E,
     )

@@ -22,6 +22,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the suite is compile-bound on CPU, and
+# repeated runs (driver, CI) hit identical HLO — cache across processes.
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/dcarl_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:
+    pass  # older jax without these flags
+
 import pytest  # noqa: E402
 
 
