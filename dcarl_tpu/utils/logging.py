@@ -94,6 +94,31 @@ class JSONLWriter(KVWriter):
         self.file.close()
 
 
+class TensorBoardWriter(KVWriter):
+    """TensorBoard sink — the fork's logger exports KVs to TB
+    (stable_baselines/logger.py TensorBoardOutputFormat); here via
+    torch.utils.tensorboard (baked in), gated so it stays optional."""
+
+    def __init__(self, log_dir: str):
+        from torch.utils.tensorboard import SummaryWriter
+
+        self.writer = SummaryWriter(log_dir=log_dir)
+        self.step = 0
+
+    def writekvs(self, kvs):
+        step = int(kvs.get("step", self.step))
+        for k, v in kvs.items():
+            try:
+                self.writer.add_scalar(k, float(v), step)
+            except (TypeError, ValueError):
+                pass  # non-scalar values are for the CSV/JSON sinks
+        self.step = step + 1
+        self.writer.flush()
+
+    def close(self):
+        self.writer.close()
+
+
 class MetricsLogger:
     """logkv / dumpkvs accumulator (SB logger.py API surface)."""
 
