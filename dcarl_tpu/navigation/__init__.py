@@ -12,3 +12,4 @@ from dcarl_tpu.navigation.map_provider import (LoopMap, load_loop_map,
 
 __all__ = ["LoopMap", "load_loop_map", "synthetic_loop_map",
            "window_static_map"]
+from dcarl_tpu.navigation import route as route

@@ -33,17 +33,20 @@ def _kernel(q_ref, keys_ref, vals_ref, valid_ref, w_ref, out_ref, *, dim: int):
 
     qt = q_ref.shape[1]
     nt = keys_ref.shape[1]
-    mask = jnp.ones((qt, nt), dtype=jnp.float32)
+    # Boolean AND chain (one cmp + one and per dim) — cheaper on the
+    # VPU than the float multiply chain (cmp + convert + mul), and the
+    # whole mask stays in 1-bit vector registers until the reductions.
+    mask_b = jnp.ones((qt, nt), dtype=jnp.bool_)
     for d in range(dim):  # static unroll over key dimensions
         diff = q_ref[d, :][:, None] - keys_ref[d, :][None, :]
-        inside = (jnp.abs(diff) <= w_ref[d, 0]).astype(jnp.float32)
-        mask = mask * inside
-    mask = mask * valid_ref[0, :][None, :]
+        mask_b = mask_b & (jnp.abs(diff) <= w_ref[d, 0])
+    mask_b = mask_b & (valid_ref[0, :][None, :] != 0.0)
 
     v = vals_ref[0, :]
+    mask = mask_b.astype(jnp.float32)
     cnt = jnp.sum(mask, axis=1)
-    s = jnp.sum(mask * v[None, :], axis=1)
-    ss = jnp.sum(mask * (v * v)[None, :], axis=1)
+    s = jnp.sum(jnp.where(mask_b, v[None, :], 0.0), axis=1)
+    ss = jnp.sum(jnp.where(mask_b, (v * v)[None, :], 0.0), axis=1)
 
     @pl.when(j == 0)
     def _():
