@@ -53,25 +53,32 @@ def bench_confidence_evals(n_rows: int, n_queries: int, repeats: int = 5):
     import numpy as np
 
     from dcarl_tpu.core.store import FIELD_HALF_WIDTHS, _raw_moments
-    from dcarl_tpu.ops.pallas_store import box_query_moments_pallas
+    from dcarl_tpu.ops.pallas_store import box_query_moments_sorted
 
     rng = np.random.default_rng(0)
     d = len(FIELD_HALF_WIDTHS)
     keys = jnp.asarray(rng.normal(0, 5, (n_rows, d)), jnp.float32)
+    keys = keys.at[:, -1].set(
+        jnp.asarray(rng.integers(0, 8, n_rows), jnp.float32))
     values = jnp.asarray(rng.normal(0, 1, n_rows), jnp.float32)
     valid = jnp.ones((n_rows,), bool)
     queries = jnp.asarray(rng.normal(0, 5, (n_queries, d)), jnp.float32)
+    queries = queries.at[:, -1].set(
+        jnp.asarray(rng.integers(0, 8, n_queries), jnp.float32))
     w = jnp.asarray(FIELD_HALF_WIDTHS, jnp.float32)
 
     on_tpu = jax.default_backend() == "tpu"
-    fn = box_query_moments_pallas if on_tpu else _raw_moments
-    inner = 8  # amortize dispatch latency over the remote tunnel
+    fn = box_query_moments_sorted if on_tpu else _raw_moments
+    # The remote-tunnel dispatch floor is ~25 ms per executable launch;
+    # chain enough kernel calls inside one program that the kernel, not
+    # the launch, dominates what we time.
+    inner = 128 if on_tpu else 4
 
     @jax.jit
     def f(keys, values, valid, queries, w):
         def body(c, _):
             out = fn(keys, values, valid, queries + c, w)
-            return c + out[0, 0] * 1e-20, None
+            return c + jnp.sum(out) * 1e-20, None
 
         c, _ = jax.lax.scan(body, jnp.zeros(()), None, length=inner)
         return c
@@ -94,7 +101,8 @@ def main():
     if backend == "tpu":
         # Swept 1k-32k on v5e: throughput peaks at B=8192 (~2.45M
         # steps/s); beyond that the step turns HBM-bound and flattens.
-        batch, steps = 8192, 100
+        # steps=300 keeps the ~25 ms launch floor under 3% of the run.
+        batch, steps = 8192, 300
         store_rows, store_queries = 1 << 16, 4096
     else:  # CPU smoke mode
         batch, steps = 64, 50

@@ -163,9 +163,9 @@ def box_query_stats(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
-        from dcarl_tpu.ops.pallas_store import box_query_moments_pallas
+        from dcarl_tpu.ops.pallas_store import box_query_moments_sorted
 
-        moments = box_query_moments_pallas(
+        moments = box_query_moments_sorted(
             store.keys, store.values, valid, queries, half_widths)
     else:
         moments = _raw_moments(store.keys, store.values, valid, queries,

@@ -134,6 +134,23 @@ def refpath_position(rp: RefPath, s: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return spline_eval(rp.sx, s), spline_eval(rp.sy, s)
 
 
+def refpath_pos_tangent(
+    rp: RefPath, s: jax.Array
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """(x, y, dx/ds, dy/ds) with ONE shared segment search — the x and y
+    splines share their knot vector (rp.s), so the binary search and its
+    gathers need not run four times (the planner evaluates position and
+    tangent for every lattice point; this fusion is the hot path)."""
+    sx, sy = rp.sx, rp.sy
+    i = _segment_index(sx, s)
+    dt = s - sx.x[i]
+    x = sx.a[i] + (sx.b[i] + (sx.c[i] + sx.d[i] * dt) * dt) * dt
+    y = sy.a[i] + (sy.b[i] + (sy.c[i] + sy.d[i] * dt) * dt) * dt
+    dx = sx.b[i] + (2.0 * sx.c[i] + 3.0 * sx.d[i] * dt) * dt
+    dy = sy.b[i] + (2.0 * sy.c[i] + 3.0 * sy.d[i] * dt) * dt
+    return x, y, dx, dy
+
+
 def refpath_yaw(rp: RefPath, s: jax.Array) -> jax.Array:
     return jnp.arctan2(spline_d1(rp.sy, s), spline_d1(rp.sx, s))
 

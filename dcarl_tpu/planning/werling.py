@@ -115,10 +115,10 @@ def plan(rp: spl.RefPath, start: FrenetStart,
     s_d_full = jnp.broadcast_to(s_d[None], (n_d, n_v, n_t)).reshape(-1, n_t)
     s_dd_full = jnp.broadcast_to(s_dd[None], (n_d, n_v, n_t)).reshape(-1, n_t)
 
-    # Global conversion (calc_global_paths :342-365).
-    ix = spl.spline_eval(rp.sx, s_full)
-    iy = spl.spline_eval(rp.sy, s_full)
-    iyaw = jnp.arctan2(spl.spline_d1(rp.sy, s_full), spl.spline_d1(rp.sx, s_full))
+    # Global conversion (calc_global_paths :342-365); fused evaluation
+    # shares one segment search across x/y/tangent.
+    ix, iy, idx, idy = spl.refpath_pos_tangent(rp, s_full)
+    iyaw = jnp.arctan2(idy, idx)
     x = ix + d_full * jnp.cos(iyaw + jnp.pi / 2.0)
     y = iy + d_full * jnp.sin(iyaw + jnp.pi / 2.0)
 

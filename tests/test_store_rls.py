@@ -74,6 +74,35 @@ def test_pallas_kernel_interpret_matches_xla():
     np.testing.assert_allclose(got, ref, atol=1e-3)
 
 
+def test_pallas_sorted_kernel_matches_xla():
+    """Sorted-band-pruned kernel: exact same moments as the brute
+    reduction (moments are order-invariant), including partially-filled
+    stores (invalid tail) and padded tiles."""
+    rng = np.random.default_rng(2)
+    d = 21
+    n, q = 700, 40
+    keys = jnp.asarray(rng.normal(0, 5, (n, d)), jnp.float32)
+    values = jnp.asarray(rng.normal(0, 1, n), jnp.float32)
+    valid = jnp.asarray(rng.random(n) < 0.6)
+    queries = jnp.asarray(rng.normal(0, 5, (q, d)), jnp.float32)
+    w = jnp.asarray(np.abs(rng.normal(2, 1, d)) + 0.5, jnp.float32)
+
+    from dcarl_tpu.core.store import _raw_moments
+    from dcarl_tpu.ops.pallas_store import box_query_moments_sorted
+
+    ref = np.asarray(_raw_moments(keys, values, valid, queries, w))
+    got = np.asarray(box_query_moments_sorted(
+        keys, values, valid, queries, w,
+        q_tile=16, n_tile=256, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-3)
+
+    # empty store: all queries report zero matches
+    got0 = np.asarray(box_query_moments_sorted(
+        keys, values, jnp.zeros((n,), bool), queries, w,
+        q_tile=16, n_tile=256, interpret=True))
+    np.testing.assert_allclose(got0, 0.0)
+
+
 def test_store_ring_overwrite():
     d = 3
     store = S.store_init(4, d)
