@@ -21,27 +21,41 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _enable_compile_cache():
+    """The lane-major driver is a large fused program (~3 min cold
+    compile over the remote TPU tunnel); the persistent cache makes
+    repeat bench runs start in seconds."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/dcarl_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass  # older jax without these flags
+
+
 def bench_env_steps(batch: int, steps: int, repeats: int = 3):
     import jax
 
     from dcarl_tpu.env.scenario import t_intersection
-    from dcarl_tpu.planning.rollout import make_rule_driver
+    from dcarl_tpu.planning.fast_rollout import make_rule_driver_fast
 
     sc = t_intersection()
-    init_fn, run_fn = make_rule_driver(sc)
+    init_fn, run_fn = make_rule_driver_fast(sc)
     keys = jax.random.split(jax.random.PRNGKey(0), batch)
     carry = init_fn(keys)
-    step_keys = jax.random.split(
-        jax.random.PRNGKey(1), batch * steps).reshape(batch, steps, 2)
+    step_keys = jax.random.split(jax.random.PRNGKey(1), steps)
 
     # warmup/compile
     carry, out = run_fn(carry, step_keys)
     jax.block_until_ready(out[0])
 
     best = float("inf")
-    for _ in range(repeats):
+    for i in range(repeats):
+        sk = jax.random.split(jax.random.PRNGKey(2 + i), steps)
         t0 = time.perf_counter()
-        carry, out = run_fn(carry, step_keys)
+        carry, out = run_fn(carry, sk)
         jax.block_until_ready(out[0])
         best = min(best, time.perf_counter() - t0)
     return batch * steps / best
@@ -95,14 +109,16 @@ def bench_confidence_evals(n_rows: int, n_queries: int, repeats: int = 5):
 
 
 def main():
+    _enable_compile_cache()
     import jax
 
     backend = jax.default_backend()
     if backend == "tpu":
-        # Swept 1k-32k on v5e: throughput peaks at B=8192 (~2.45M
-        # steps/s); beyond that the step turns HBM-bound and flattens.
-        # steps=300 keeps the ~25 ms launch floor under 3% of the run.
-        batch, steps = 8192, 300
+        # Lane-major driver (fast_rollout.py) swept 8k-128k on v5e:
+        # peaks at B=32768 (~14.7M steps/s; 8k gives 13.5M, 128k turns
+        # HBM-bound at 12.5M).  steps=300 keeps the ~25 ms launch floor
+        # under 4% of the run.
+        batch, steps = 32768, 300
         store_rows, store_queries = 1 << 16, 4096
     else:  # CPU smoke mode
         batch, steps = 64, 50

@@ -148,6 +148,7 @@ class EnvConfig:
     reward_collision: float = -100.0
     reward_stuck: float = 0.0
     max_episode_steps: int = 400
+    reset_jitter: float = 0.1     # spawn-pose jitter half-range [m]
     ego_start: Tuple[float, float, float] = (242.0, 110.0, -1.5707963267948966)
     target_speed: float = 30.0 / 3.6
     wheelbase: float = 3.15

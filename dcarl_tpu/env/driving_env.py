@@ -76,12 +76,15 @@ def reset(sa: ScenarioArrays, key: jax.Array,
     introduces comparable variation; keyed for reproducibility)."""
     k_ego, k_veh = jax.random.split(key)
     dtype = sa.ego_spawn.dtype
+    j = cfg.reset_jitter
     ego = sa.ego_spawn + jnp.concatenate([
-        jax.random.uniform(k_ego, (2,), dtype, -0.1, 0.1),
+        jax.random.uniform(k_ego, (2,), dtype, -j, j) if j else
+        jnp.zeros((2,), dtype),
         jnp.zeros((3,), dtype),
     ])
     vehicles = sa.vehicle_spawns
-    jitter = jax.random.uniform(k_veh, (vehicles.shape[0], 2), dtype, -0.1, 0.1)
+    jitter = (jax.random.uniform(k_veh, (vehicles.shape[0], 2), dtype, -j, j)
+              if j else jnp.zeros((vehicles.shape[0], 2), dtype))
     vehicles = vehicles.at[:, :2].add(jitter)
     zero = jnp.zeros((), dtype)
     return EnvState(

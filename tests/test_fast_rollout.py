@@ -1,0 +1,147 @@
+"""Lane-major fast driver == readable driver.
+
+The fast path (planning/fast_rollout.py) re-lays-out the entire
+env->planner->controller tick for TPU lanes; these tests pin its
+semantics to the readable batch-first path (planning/rollout.py), which
+itself is pinned to the reference call stack (SURVEY.md §3.2).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dcarl_tpu.config import EnvConfig, WerlingConfig
+from dcarl_tpu.env.scenario import t_intersection
+from dcarl_tpu.planning.fast_rollout import (_plan_lattice, _project_ego,
+                                             _build_tables,
+                                             make_rule_driver_fast)
+from dcarl_tpu.planning.rollout import make_rule_driver
+
+
+def test_fast_driver_matches_readable_driver():
+    """Full closed-loop parity over enough steps to cross episode ends
+    (pass events + auto-resets), f64, zero reset jitter so both key
+    streams are irrelevant."""
+    sc = t_intersection()
+    cfg = EnvConfig(reset_jitter=0.0)
+    B, S = 16, 300
+    dtype = jnp.float64
+
+    init_s, run_s = make_rule_driver(sc, cfg, dtype=dtype)
+    init_f, run_f = make_rule_driver_fast(sc, cfg, dtype=dtype)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    carry_s = init_s(keys)
+    carry_f = init_f(keys)
+
+    sk_slow = jax.random.split(jax.random.PRNGKey(1), B * S).reshape(B, S, 2)
+    sk_fast = jax.random.split(jax.random.PRNGKey(1), S)
+
+    _, (r_s, d_s, p_s, c_s) = run_s(carry_s, sk_slow)     # [B, S]
+    _, (r_f, d_f, p_f, c_f) = run_f(carry_f, sk_fast)     # [S, B]
+
+    r_s, d_s, p_s, c_s = (np.asarray(a).T for a in (r_s, d_s, p_s, c_s))
+    np.testing.assert_allclose(np.asarray(r_f), r_s, rtol=1e-9, atol=1e-9)
+    assert (np.asarray(d_f) == d_s).all()
+    assert (np.asarray(p_f) == p_s).all()
+    assert (np.asarray(c_f) == c_s).all()
+    # the scenario actually exercises episode ends in this window
+    assert d_s.any()
+
+
+def test_fast_driver_f32_close():
+    """f32 cross-layout drift stays at float-noise level over a short
+    horizon (different reduction orders, same math)."""
+    sc = t_intersection()
+    cfg = EnvConfig(reset_jitter=0.0)
+    B, S = 8, 30
+
+    init_s, run_s = make_rule_driver(sc, cfg, dtype=jnp.float32)
+    init_f, run_f = make_rule_driver_fast(sc, cfg, dtype=jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    _, (r_s, d_s, _, _) = run_s(init_s(keys),
+                                jax.random.split(jax.random.PRNGKey(1),
+                                                 B * S).reshape(B, S, 2))
+    _, (r_f, d_f, _, _) = run_f(init_f(keys),
+                                jax.random.split(jax.random.PRNGKey(1), S))
+    np.testing.assert_allclose(np.asarray(r_f), np.asarray(r_s).T,
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_project_ego_matches_geometry_op():
+    """The fused lane-major projection equals ops.geometry's
+    cartesian_to_frenet on random poses around the path."""
+    from dcarl_tpu.ops import spline as spl
+    from dcarl_tpu.ops.geometry import cartesian_to_frenet
+
+    sc = t_intersection()
+    ref = np.asarray(sc.ref_path, np.float64)
+    rp = spl.refpath_from_xy(jnp.asarray(ref[:, 0]), jnp.asarray(ref[:, 1]))
+    rp_host = {
+        "s": np.asarray(rp.s), "ax": np.asarray(rp.sx.a),
+        "bx": np.asarray(rp.sx.b), "cx": np.asarray(rp.sx.c),
+        "dx": np.asarray(rp.sx.d), "ay": np.asarray(rp.sy.a),
+        "by": np.asarray(rp.sy.b), "cy": np.asarray(rp.sy.c),
+        "dy": np.asarray(rp.sy.d),
+    }
+    tab = _build_tables(ref, rp_host)
+
+    rng = np.random.default_rng(0)
+    n = 64
+    base = ref[rng.integers(0, len(ref), n)]
+    px = base[:, 0] + rng.normal(0, 3.0, n)
+    py = base[:, 1] + rng.normal(0, 3.0, n)
+    vx = rng.normal(0, 5.0, n)
+    vy = rng.normal(0, 5.0, n)
+
+    s0, d, vd = _project_ego(jnp.asarray(px), jnp.asarray(py),
+                             jnp.asarray(vx), jnp.asarray(vy),
+                             tab, np.float64)
+
+    line = jnp.asarray(ref)
+    for i in range(n):
+        f = cartesian_to_frenet(px[i], py[i], vx[i], vy[i], 0.0, line)
+        np.testing.assert_allclose(float(s0[i]), float(f.s), atol=1e-9)
+        np.testing.assert_allclose(float(d[i]), float(f.d), atol=1e-9)
+        np.testing.assert_allclose(float(vd[i]), float(f.vd), atol=1e-9)
+
+
+def test_fast_lattice_matches_werling_plan():
+    from dcarl_tpu.ops import spline as spl
+    from dcarl_tpu.planning import werling as W
+
+    sc = t_intersection()
+    wcfg = WerlingConfig()
+    ref = np.asarray(sc.ref_path, np.float64)
+    rp = spl.refpath_from_xy(jnp.asarray(ref[:, 0]), jnp.asarray(ref[:, 1]))
+    rp_host = {
+        "s": np.asarray(rp.s), "ax": np.asarray(rp.sx.a),
+        "bx": np.asarray(rp.sx.b), "cx": np.asarray(rp.sx.c),
+        "dx": np.asarray(rp.sx.d), "ay": np.asarray(rp.sy.a),
+        "by": np.asarray(rp.sy.b), "cy": np.asarray(rp.sy.c),
+        "dy": np.asarray(rp.sy.d),
+    }
+    tab = _build_tables(ref, rp_host)
+
+    rng = np.random.default_rng(1)
+    b = 8
+    s0 = jnp.asarray(rng.uniform(1.0, 30.0, b))
+    c_d = jnp.asarray(rng.normal(0, 1.0, b))
+    c_d_d = jnp.asarray(rng.normal(0, 0.5, b))
+    c_speed = jnp.asarray(rng.uniform(0.0, 10.0, b))
+
+    fast = _plan_lattice(s0, c_d, c_d_d, c_speed, tab, wcfg, np.float64)
+
+    for i in range(b):
+        start = W.FrenetStart(s0=s0[i], c_d=c_d[i], c_d_d=c_d_d[i],
+                              c_d_dd=jnp.zeros(()), c_speed=c_speed[i])
+        ref_lat = W.plan(rp, start, wcfg)
+        np.testing.assert_allclose(np.asarray(fast.x[:, :, i]),
+                                   np.asarray(ref_lat.x), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(fast.y[:, :, i]),
+                                   np.asarray(ref_lat.y), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(fast.cf[:, i]),
+                                   np.asarray(ref_lat.cf), atol=1e-9)
+        assert (np.asarray(fast.feasible[:, i])
+                == np.asarray(ref_lat.feasible)).all()
