@@ -220,3 +220,74 @@ class DQN:
         (update_target, dqn.py:248-249)."""
         return state._replace(
             target_params=jax.tree.map(jnp.copy, state.params))
+
+
+# ---------------------------------------------------------------------------
+# Parameter-space noise exploration (SB deepq/build_graph.py param_noise
+# capability: perturbed-network action selection with the adaptive scale
+# rule of Plappert et al., as implemented by build_act_with_param_noise)
+# ---------------------------------------------------------------------------
+
+
+class ParamNoiseState(NamedTuple):
+    """Adaptive parameter-noise state (build_graph.py's
+    param_noise_scale / param_noise_threshold variables)."""
+
+    scale: jax.Array      # current perturbation stddev
+    threshold: jax.Array  # action-distribution KL target
+
+
+def param_noise_init(initial_scale: float = 0.01) -> ParamNoiseState:
+    return ParamNoiseState(scale=jnp.asarray(initial_scale, jnp.float32),
+                           threshold=jnp.asarray(0.0, jnp.float32))
+
+
+def perturb_params(params, key: jax.Array, scale: jax.Array):
+    """Gaussian perturbation of every weight leaf
+    (build_graph.py perturb_vars: var + N(0, scale))."""
+    leaves, treedef = jax.tree.flatten(params)
+    keys = jax.random.split(key, len(leaves))
+    noisy = [l + scale * jax.random.normal(k, l.shape, l.dtype)
+             for l, k in zip(leaves, keys)]
+    return jax.tree.unflatten(treedef, noisy)
+
+
+def param_noise_threshold_from_eps(eps: jax.Array, num_actions: int):
+    """build_act_with_param_noise ties the KL target to the epsilon
+    schedule: -log(1 - eps + eps/|A|)."""
+    return -jnp.log(1.0 - eps + eps / num_actions)
+
+
+class DQNParamNoise:
+    """Mixin-style helper bound to a DQN instance: perturbed action
+    selection + the 1.01-factor adaptive scale update."""
+
+    def __init__(self, dqn: DQN):
+        self.dqn = dqn
+
+    @partial(jax.jit, static_argnums=(0,))
+    def act(self, state: DQNState, pn: ParamNoiseState, obs, key):
+        """Greedy action under the perturbed network
+        (build_act_with_param_noise: deterministic w.r.t. the sampled
+        perturbation; reset_ph resamples by passing a fresh key)."""
+        noisy = perturb_params(state.params, key, pn.scale)
+        q = self.dqn.q_values(noisy, obs)
+        return jnp.argmax(q, axis=-1).astype(jnp.int32)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def adapt(self, state: DQNState, pn: ParamNoiseState, obs,
+              key: jax.Array) -> Tuple[ParamNoiseState, jax.Array]:
+        """Scale adaption (build_graph.py update_scale): measure the
+        mean KL between the clean and perturbed action distributions on
+        a batch; grow the scale by 1.01 when KL < threshold, shrink
+        otherwise.  Threshold follows the epsilon schedule."""
+        q = self.dqn.q_values(state.params, obs)
+        noisy = perturb_params(state.params, key, pn.scale)
+        q_pert = self.dqn.q_values(noisy, obs)
+        logp = jax.nn.log_softmax(q, axis=-1)
+        logq = jax.nn.log_softmax(q_pert, axis=-1)
+        kl = jnp.mean(jnp.sum(jnp.exp(logp) * (logp - logq), axis=-1))
+        eps = epsilon_by_frame(state.frame, self.dqn.cfg)
+        thresh = param_noise_threshold_from_eps(eps, q.shape[-1])
+        scale = jnp.where(kl < thresh, pn.scale * 1.01, pn.scale / 1.01)
+        return ParamNoiseState(scale=scale, threshold=thresh), kl

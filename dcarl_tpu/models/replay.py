@@ -8,10 +8,11 @@ dense ``Replay_Buffer`` (:73-157); also covers the SB fork's
 (stable_baselines/common/replay_buffer.py).
 
 TPU shape: fixed preallocated arrays, masked ring writes, and
-prioritized sampling via the Gumbel-top-k trick —
-``argmax(log p + Gumbel)`` draws from exactly the prio^alpha /
-sum(prio^alpha) categorical that the reference's cumulative-sum
-sampling implements, with no segment tree and no host round-trip.
+prioritized sampling via per-draw Gumbel argmax — each of the B
+independent ``argmax(log p + Gumbel)`` rows is one exact draw (with
+replacement) from the prio^alpha / sum(prio^alpha) categorical that the
+reference's cumulative-sum segment tree implements, with no tree and no
+host round-trip.
 """
 
 from __future__ import annotations

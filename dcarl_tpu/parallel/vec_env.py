@@ -286,3 +286,207 @@ class VecCheckNan(VecEnv):
 
     def close(self):
         self.venv.close()
+
+
+class VecMonitor(VecEnv):
+    """Episode-stats monitor (bench/monitor.py semantics): per-episode
+    reward ``r``, length ``l``, wall-time ``t`` appended to a CSV whose
+    first line is the reference's JSON comment header
+    (``#{"t_start": ..., "env_id": ...}``).  Covers the whole vec batch
+    in one file; per-env attribution is the extra ``env`` column (the
+    reference wraps one env per Monitor — a per-process file layout that
+    has no analog for a lockstep batch)."""
+
+    EXT = "monitor.csv"
+
+    def __init__(self, venv: VecEnv, filename: Optional[str] = None,
+                 env_id: str = "dcarl"):
+        import json
+        import time as _time
+
+        self.venv = venv
+        self.num_envs = venv.num_envs
+        self.t_start = _time.time()
+        self.episode_rewards: List[float] = []
+        self.episode_lengths: List[int] = []
+        self.episode_times: List[float] = []
+        self._rew = np.zeros(self.num_envs, np.float64)
+        self._len = np.zeros(self.num_envs, np.int64)
+        self.file = None
+        if filename is not None:
+            if not filename.endswith(self.EXT):
+                filename = filename + "." + self.EXT
+            self.file = open(filename, "w")
+            self.file.write("#%s\n" % json.dumps(
+                {"t_start": self.t_start, "env_id": env_id}))
+            self.file.write("r,l,t,env\n")
+            self.file.flush()
+
+    def reset(self):
+        self._rew[:] = 0.0
+        self._len[:] = 0
+        return self.venv.reset()
+
+    def step(self, actions):
+        import time as _time
+
+        obs, rew, done, infos = self.venv.step(actions)
+        self._rew += np.asarray(rew, np.float64)
+        self._len += 1
+        for i in np.flatnonzero(np.asarray(done)):
+            ep_r = float(self._rew[i])
+            ep_l = int(self._len[i])
+            ep_t = round(_time.time() - self.t_start, 6)
+            self.episode_rewards.append(ep_r)
+            self.episode_lengths.append(ep_l)
+            self.episode_times.append(ep_t)
+            if isinstance(infos[i], dict):
+                infos[i]["episode"] = {"r": ep_r, "l": ep_l, "t": ep_t}
+            if self.file is not None:
+                self.file.write(f"{ep_r:.6f},{ep_l},{ep_t},{i}\n")
+                self.file.flush()
+            self._rew[i] = 0.0
+            self._len[i] = 0
+        return obs, rew, done, infos
+
+    # SB Monitor accessors
+    def get_episode_rewards(self) -> List[float]:
+        return self.episode_rewards
+
+    def get_episode_lengths(self) -> List[int]:
+        return self.episode_lengths
+
+    def get_episode_times(self) -> List[float]:
+        return self.episode_times
+
+    def close(self):
+        if self.file is not None:
+            self.file.close()
+        self.venv.close()
+
+
+def load_monitor_csv(path: str):
+    """Parse a VecMonitor CSV -> (header dict, list of row dicts) —
+    the load_results counterpart of bench/monitor.py."""
+    import json
+
+    with open(path) as f:
+        first = f.readline()
+        header = json.loads(first[1:]) if first.startswith("#") else {}
+        cols = f.readline().strip().split(",")
+        rows = []
+        for line in f:
+            vals = line.strip().split(",")
+            if len(vals) != len(cols):
+                continue
+            rows.append({c: (float(v) if c in ("r", "t") else int(v))
+                         for c, v in zip(cols, vals)})
+    return header, rows
+
+
+class VecVideoRecorder(VecEnv):
+    """Rollout video capture (vec_video_recorder.py semantics): when
+    ``record_video_trigger(step)`` fires, record ``video_length`` frames
+    and write them out; recording restarts whenever the trigger fires
+    again.
+
+    The reference calls the env's OpenGL ``render``; the lockstep JAX
+    envs have no renderer process, so frames come from ``render_fn(obs)
+    -> uint8 [H, W, 3]`` (default: top-down scatter of the 20-D driving
+    observation via utils/visualize).  Output is an animated GIF (PIL)
+    plus the raw frame stack as ``.npz``.
+    """
+
+    def __init__(self, venv: VecEnv, video_folder: str,
+                 record_video_trigger: Callable[[int], bool],
+                 video_length: int = 200,
+                 name_prefix: str = "rl-video",
+                 render_fn: Optional[Callable] = None,
+                 fps: int = 20):
+        import os
+
+        self.venv = venv
+        self.num_envs = venv.num_envs
+        self.trigger = record_video_trigger
+        self.video_length = video_length
+        self.folder = video_folder
+        self.prefix = name_prefix
+        self.render_fn = render_fn or _default_render
+        self.fps = fps
+        os.makedirs(video_folder, exist_ok=True)
+        self.step_id = 0
+        self.recording = False
+        self.frames: List[np.ndarray] = []
+        self.recorded_paths: List[str] = []
+        self._last_obs = None
+
+    def reset(self):
+        obs = self.venv.reset()
+        self._last_obs = obs
+        self._maybe_start()
+        return obs
+
+    def _maybe_start(self):
+        if not self.recording and self.trigger(self.step_id):
+            self.recording = True
+            self.frames = []
+            self.start_step = self.step_id
+
+    def step(self, actions):
+        obs, rew, done, infos = self.venv.step(actions)
+        self._last_obs = obs
+        self.step_id += 1
+        self._maybe_start()
+        if self.recording:
+            self.frames.append(self.render_fn(np.asarray(obs)))
+            if len(self.frames) >= self.video_length:
+                self._flush()
+        return obs, rew, done, infos
+
+    def _flush(self):
+        import os
+
+        if not self.frames:
+            self.recording = False
+            return
+        base = os.path.join(
+            self.folder,
+            f"{self.prefix}-step-{self.start_step}-to-{self.step_id}")
+        stack = np.stack(self.frames)
+        np.savez_compressed(base + ".npz", frames=stack)
+        gif = base + ".gif"
+        try:
+            from PIL import Image
+
+            imgs = [Image.fromarray(f) for f in self.frames]
+            imgs[0].save(gif, save_all=True, append_images=imgs[1:],
+                         duration=int(1000 / self.fps), loop=0)
+            self.recorded_paths.append(gif)
+        except Exception:  # pragma: no cover - PIL is baked in
+            self.recorded_paths.append(base + ".npz")
+        self.frames = []
+        self.recording = False
+
+    def close(self):
+        self._flush()
+        self.venv.close()
+
+
+def _default_render(obs: np.ndarray, size: int = 128) -> np.ndarray:
+    """Minimal top-down rasterization of the 20-D driving observation
+    batch (ego + objects of env 0) — enough to eyeball a rollout
+    without a display server."""
+    frame = np.zeros((size, size, 3), np.uint8)
+    rows = np.asarray(obs[0], np.float64).reshape(-1, 5)
+
+    def plot(x, y, color):
+        px = int(np.clip(size / 2 + x * 2.0, 0, size - 1))
+        py = int(np.clip(size / 2 - y * 2.0, 0, size - 1))
+        frame[max(0, py - 1): py + 2, max(0, px - 1): px + 2] = color
+
+    for k, row in enumerate(rows):
+        if k == 0:
+            plot(0.0, 0.0, (0, 255, 0))          # ego at frame center
+        else:
+            plot(row[0] - rows[0][0], row[1] - rows[0][1], (255, 64, 64))
+    return frame
