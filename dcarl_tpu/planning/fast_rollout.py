@@ -635,3 +635,155 @@ def make_rule_driver_fast(sc: Scenario,
         return jax.lax.scan(one_step, carry, step_keys)
 
     return init_fn, run_fn
+
+
+# ---------------------------------------------------------------------------
+# Lane-major value collector (the HRL round-robin collection loop)
+# ---------------------------------------------------------------------------
+
+
+class FastCollectorCarry(NamedTuple):
+    env: FastEnvState
+    triggered: jax.Array       # [B] bool
+    locked_x: jax.Array        # [T, B]
+    locked_y: jax.Array        # [T, B]
+    locked_speed_end: jax.Array  # [B]
+    recorded_state: jax.Array  # [20, B]
+    used_action: jax.Array     # [B] i32
+
+
+class FastStepRecord(NamedTuple):
+    done: jax.Array            # [B]
+    collided: jax.Array
+    passed: jax.Array
+    recorded_state: jax.Array  # [20, B]
+    used_action: jax.Array
+    episode_return: jax.Array
+    reward: jax.Array
+    rule_index: jax.Array
+
+
+def make_collector_fast(sc: Scenario,
+                        env_cfg: EnvConfig = EnvConfig(),
+                        wcfg: WerlingConfig = WerlingConfig(),
+                        dtype=jnp.float32,
+                        trigger_y: float = 90.0):
+    """Lane-major port of ``rollout.make_collector`` (the
+    dqn_value_collect.py loop, SURVEY.md §3.2): identical trigger/lock/
+    round-robin semantics, [S, B]-shaped records.  ~5x the readable
+    path's throughput on TPU (same layout win as the rule driver)."""
+    from dcarl_tpu.ops import spline as spl
+
+    sa = de.scenario_to_device(sc, dtype)
+    idx = de.in_state_indices(sc)
+    ref_line = np.asarray(sc.ref_path, np.float64)
+    rp = spl.refpath_from_xy(jnp.asarray(ref_line[:, 0], dtype),
+                             jnp.asarray(ref_line[:, 1], dtype))
+    rp_host = {
+        "s": np.asarray(rp.s, np.float64),
+        "ax": np.asarray(rp.sx.a, np.float64),
+        "bx": np.asarray(rp.sx.b, np.float64),
+        "cx": np.asarray(rp.sx.c, np.float64),
+        "dx": np.asarray(rp.sx.d, np.float64),
+        "ay": np.asarray(rp.sy.a, np.float64),
+        "by": np.asarray(rp.sy.b, np.float64),
+        "cy": np.asarray(rp.sy.c, np.float64),
+        "dy": np.asarray(rp.sy.d, np.float64),
+    }
+    tab = _build_tables(ref_line, rp_host)
+    npdt = np.dtype(jnp.zeros((), dtype).dtype.name).type
+    n_obj = (env_cfg.state_dim - 5) // 5
+    n_v = len(wcfg.target_speeds)
+    n_paths = wcfg.num_paths
+    n_t = wcfg.n_time_steps
+
+    def pick_path(lat: FastLattice, index: jax.Array):
+        """trajectory_by_index semantics, lane-major: -> (x, y,
+        speed_end) of candidate ``index`` (0 = brake)."""
+        brake_path = jnp.argmin(lat.cf, axis=0).astype(jnp.int32)
+        p_sel = jnp.where(index == 0, brake_path, index - 1)
+        oh_p = _onehot(p_sel, n_paths).astype(npdt)
+        tx = jnp.sum(lat.x * oh_p[:, None, :], axis=0)
+        ty = jnp.sum(lat.y * oh_p[:, None, :], axis=0)
+        oh_v = oh_p.reshape(-1, n_v, oh_p.shape[-1]).sum(axis=0)
+        se = jnp.sum(lat.s_d_end * oh_v, axis=0)
+        se = jnp.where(index == 0, 0.0, se)
+        return tx, ty, se
+
+    def one_step(carry: FastCollectorCarry, key):
+        state = carry.env
+        obs = _obs_ori_soa(state, idx)
+        ego_x, ego_y = obs[0], obs[1]
+        ego_vx, ego_vy, ego_yaw = obs[2], obs[3], obs[4]
+
+        s0, d_signed, vd = _project_ego(ego_x, ego_y, ego_vx, ego_vy,
+                                        tab, npdt)
+        c_speed = jnp.sqrt(ego_vx ** 2 + ego_vy ** 2)
+        lat = _plan_lattice(s0, -d_signed, vd, c_speed, tab, wcfg, npdt)
+
+        obstacles = obs[5:].reshape(n_obj, 5, -1)
+        obstacles = obstacles.at[:, 4, :].set(0.0)
+        free = _collision_free(lat, obstacles, wcfg, npdt)
+        ok = lat.feasible & free
+        masked_cost = jnp.where(ok, lat.cf, jnp.inf)
+        best = jnp.argmin(masked_cost, axis=0).astype(jnp.int32)
+        rule_index = jnp.where(jnp.any(ok, axis=0), best + 1, 0)
+
+        # trigger: lock the round-robin candidate once y < trigger_y
+        trigger_now = (~carry.triggered) & (ego_y < npdt(trigger_y))
+        hrl_x, hrl_y, hrl_se = pick_path(lat, carry.used_action)
+        rule_x, rule_y, rule_se = pick_path(lat, rule_index)
+
+        locked_x = jnp.where(trigger_now[None, :], hrl_x, carry.locked_x)
+        locked_y = jnp.where(trigger_now[None, :], hrl_y, carry.locked_y)
+        locked_se = jnp.where(trigger_now, hrl_se, carry.locked_speed_end)
+        recorded_state = jnp.where(trigger_now[None, :], obs,
+                                   carry.recorded_state)
+        triggered = carry.triggered | trigger_now
+
+        follow_x = jnp.where(triggered[None, :], locked_x, rule_x)
+        follow_y = jnp.where(triggered[None, :], locked_y, rule_y)
+        follow_se = jnp.where(triggered, locked_se, rule_se)
+
+        ego_v = jnp.sqrt(ego_vx ** 2 + ego_vy ** 2)
+        acc, steer = _control(ego_x, ego_y, ego_yaw, ego_v,
+                              follow_x, follow_y, follow_se, npdt)
+
+        episode_return_before = state.episode_return
+        state, reward, done = _step_env_soa(state, acc, steer, key, sa,
+                                            idx, env_cfg, npdt)
+
+        record = FastStepRecord(
+            done=done, collided=state.collided, passed=state.passed,
+            recorded_state=recorded_state, used_action=carry.used_action,
+            episode_return=episode_return_before + reward, reward=reward,
+            rule_index=rule_index)
+
+        n_actions = n_paths + 1
+        used_action = jnp.where(done, (carry.used_action + 1) % n_actions,
+                                carry.used_action)
+        triggered = jnp.where(done, False, triggered)
+
+        return FastCollectorCarry(
+            env=state, triggered=triggered, locked_x=locked_x,
+            locked_y=locked_y, locked_speed_end=locked_se,
+            recorded_state=recorded_state, used_action=used_action), record
+
+    @jax.jit
+    def init_fn(keys):
+        b = keys.shape[0]
+        states = jax.vmap(lambda k: de.reset(sa, k, env_cfg))(keys)
+        return FastCollectorCarry(
+            env=_state_to_lane_major(states),
+            triggered=jnp.zeros((b,), bool),
+            locked_x=jnp.zeros((n_t, b), dtype),
+            locked_y=jnp.zeros((n_t, b), dtype),
+            locked_speed_end=jnp.zeros((b,), dtype),
+            recorded_state=jnp.zeros((env_cfg.state_dim, b), dtype),
+            used_action=jnp.zeros((b,), jnp.int32))
+
+    @jax.jit
+    def run_fn(carry, step_keys):
+        return jax.lax.scan(one_step, carry, step_keys)
+
+    return init_fn, run_fn

@@ -145,3 +145,42 @@ def test_fast_lattice_matches_werling_plan():
                                    np.asarray(ref_lat.cf), atol=1e-9)
         assert (np.asarray(fast.feasible[:, i])
                 == np.asarray(ref_lat.feasible)).all()
+
+
+def test_fast_collector_matches_readable_collector():
+    """HRL value-collection loop parity: trigger/lock, round-robin
+    rotation, and episode-return records across resets."""
+    from dcarl_tpu.planning.fast_rollout import make_collector_fast
+    from dcarl_tpu.planning.rollout import make_collector
+
+    sc = t_intersection()
+    cfg = EnvConfig(reset_jitter=0.0)
+    B, S = 12, 300
+    dtype = jnp.float64
+
+    init_s, run_s = make_collector(sc, cfg, dtype=dtype)
+    init_f, run_f = make_collector_fast(sc, cfg, dtype=dtype)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    sk_slow = jax.random.split(jax.random.PRNGKey(1), B * S).reshape(B, S, 2)
+    sk_fast = jax.random.split(jax.random.PRNGKey(1), S)
+
+    _, rec_s = run_s(init_s(keys), sk_slow)     # fields [B, S]
+    _, rec_f = run_f(init_f(keys), sk_fast)     # fields [S, B]
+
+    assert (np.asarray(rec_f.done) == np.asarray(rec_s.done).T).all()
+    assert (np.asarray(rec_f.used_action)
+            == np.asarray(rec_s.used_action).T).all()
+    assert (np.asarray(rec_f.rule_index)
+            == np.asarray(rec_s.rule_index).T).all()
+    np.testing.assert_allclose(np.asarray(rec_f.reward),
+                               np.asarray(rec_s.reward).T, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(rec_f.episode_return),
+                               np.asarray(rec_s.episode_return).T, atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(rec_f.recorded_state),
+        np.transpose(np.asarray(rec_s.recorded_state), (1, 2, 0)), atol=1e-9)
+    # the window exercises triggers, episode ends, and action rotation
+    d = np.asarray(rec_s.done)
+    assert d.any()
+    assert (np.asarray(rec_s.used_action).max() >= 1)
