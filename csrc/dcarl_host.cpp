@@ -13,12 +13,23 @@
 // C ABI, consumed from Python via ctypes (dcarl_tpu/utils/native.py).
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <deque>
+#include <mutex>
+#include <string>
+#include <thread>
 #include <unordered_map>
 #include <vector>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
 
 extern "C" {
 
@@ -383,6 +394,296 @@ int64_t dcarl_log_read(const char* path, int width, double* out,
                                   (size_t)max_records, f);
   std::fclose(f);
   return n;
+}
+
+// ---------------------------------------------------------------------------
+// Async line writer: background-thread batched appends
+// ---------------------------------------------------------------------------
+//
+// The reference appends record.txt / collected_data.txt /
+// driving_record.txt synchronously inside the decision loop
+// (TestScenario_Town03.py:321-343, RLS.py:217-241) — at TPU step rates
+// that blocks the host thread that should be feeding the device.  This
+// writer enqueues lines under a mutex and drains them to disk on a
+// dedicated thread, batching bursts into single fwrite calls.
+
+struct AsyncWriter {
+  FILE* f;
+  std::thread th;
+  std::mutex mu;
+  std::condition_variable cv;
+  std::deque<std::string> q;
+  std::atomic<bool> stop{false};
+  std::atomic<int64_t> written{0};
+
+  void run() {
+    std::string batch;
+    for (;;) {
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv.wait(lk, [&] { return stop.load() || !q.empty(); });
+        if (q.empty() && stop.load()) break;
+        batch.clear();
+        int64_t n = 0;
+        while (!q.empty()) {
+          batch += q.front();
+          q.pop_front();
+          ++n;
+        }
+        written += n;
+      }
+      if (!batch.empty()) {
+        std::fwrite(batch.data(), 1, batch.size(), f);
+        std::fflush(f);
+      }
+    }
+  }
+};
+
+void* dcarl_writer_open(const char* path) {
+  FILE* f = std::fopen(path, "ab");
+  if (!f) return nullptr;
+  AsyncWriter* w = new AsyncWriter();
+  w->f = f;
+  w->th = std::thread([w] { w->run(); });
+  return w;
+}
+
+// Enqueue one line (newline appended if missing). Never blocks on disk.
+void dcarl_writer_append(void* h, const char* line, int len) {
+  AsyncWriter* w = (AsyncWriter*)h;
+  std::string s(line, (size_t)len);
+  if (s.empty() || s.back() != '\n') s.push_back('\n');
+  {
+    std::lock_guard<std::mutex> lk(w->mu);
+    w->q.push_back(std::move(s));
+  }
+  w->cv.notify_one();
+}
+
+// Block until everything enqueued so far is on disk.
+void dcarl_writer_flush(void* h) {
+  AsyncWriter* w = (AsyncWriter*)h;
+  for (;;) {
+    {
+      std::lock_guard<std::mutex> lk(w->mu);
+      if (w->q.empty()) break;
+    }
+    std::this_thread::yield();
+  }
+  std::fflush(w->f);
+}
+
+int64_t dcarl_writer_lines_written(void* h) {
+  return ((AsyncWriter*)h)->written.load();
+}
+
+void dcarl_writer_close(void* h) {
+  AsyncWriter* w = (AsyncWriter*)h;
+  w->stop.store(true);
+  w->cv.notify_one();
+  w->th.join();
+  std::fclose(w->f);
+  delete w;
+}
+
+// ---------------------------------------------------------------------------
+// NPY mmap loader + background prefetch stream (native data loader)
+// ---------------------------------------------------------------------------
+//
+// The reference's datasets are .npy files streamed tuple-by-tuple in
+// Python (test_DCARL.py:73).  This loader mmaps v1.x .npy files
+// (C-order, little-endian numeric dtypes) for zero-copy host access,
+// and the stream variant reads fixed-size row chunks ahead on a
+// background thread (double-buffered) so device feeding overlaps disk.
+
+struct NpyFile {
+  int fd = -1;
+  void* map = nullptr;
+  size_t map_len = 0;
+  const char* data = nullptr;  // first element
+  int64_t shape[8] = {0};
+  int ndim = 0;
+  int dtype_code = 0;  // 1=f32 2=f64 3=i32 4=i64 5=u8
+  int64_t itemsize = 0;
+};
+
+static int parse_npy_header(const char* buf, size_t len, NpyFile* f,
+                            size_t* data_off) {
+  if (len < 10 || std::memcmp(buf, "\x93NUMPY", 6) != 0) return -1;
+  int major = buf[6];
+  size_t hlen, off;
+  if (major == 1) {
+    hlen = (size_t)(uint8_t)buf[8] | ((size_t)(uint8_t)buf[9] << 8);
+    off = 10;
+  } else {
+    uint32_t h;
+    std::memcpy(&h, buf + 8, 4);
+    hlen = h;
+    off = 12;
+  }
+  if (off + hlen > len) return -1;
+  std::string hdr(buf + off, hlen);
+  *data_off = off + hlen;
+
+  // dtype
+  size_t dp = hdr.find("'descr'");
+  if (dp == std::string::npos) return -1;
+  size_t q1 = hdr.find('\'', dp + 7);
+  size_t q2 = hdr.find('\'', q1 + 1);
+  std::string descr = hdr.substr(q1 + 1, q2 - q1 - 1);
+  if (descr == "<f4") { f->dtype_code = 1; f->itemsize = 4; }
+  else if (descr == "<f8") { f->dtype_code = 2; f->itemsize = 8; }
+  else if (descr == "<i4") { f->dtype_code = 3; f->itemsize = 4; }
+  else if (descr == "<i8") { f->dtype_code = 4; f->itemsize = 8; }
+  else if (descr == "|u1") { f->dtype_code = 5; f->itemsize = 1; }
+  else return -2;  // unsupported dtype
+
+  if (hdr.find("'fortran_order': True") != std::string::npos) return -3;
+
+  size_t sp = hdr.find("'shape'");
+  if (sp == std::string::npos) return -1;
+  size_t p1 = hdr.find('(', sp);
+  size_t p2 = hdr.find(')', p1);
+  std::string shape = hdr.substr(p1 + 1, p2 - p1 - 1);
+  f->ndim = 0;
+  const char* c = shape.c_str();
+  while (*c && f->ndim < 8) {
+    while (*c == ' ' || *c == ',') ++c;
+    if (!*c) break;
+    f->shape[f->ndim++] = std::strtoll(c, (char**)&c, 10);
+  }
+  if (f->ndim == 0) {  // scalar "()"
+    f->ndim = 1;
+    f->shape[0] = 1;
+  }
+  return 0;
+}
+
+void* dcarl_npy_open(const char* path) {
+  int fd = ::open(path, O_RDONLY);
+  if (fd < 0) return nullptr;
+  struct stat st;
+  if (fstat(fd, &st) != 0 || st.st_size < 16) {
+    ::close(fd);
+    return nullptr;
+  }
+  void* map = mmap(nullptr, (size_t)st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
+  if (map == MAP_FAILED) {
+    ::close(fd);
+    return nullptr;
+  }
+  NpyFile* f = new NpyFile();
+  f->fd = fd;
+  f->map = map;
+  f->map_len = (size_t)st.st_size;
+  size_t data_off = 0;
+  if (parse_npy_header((const char*)map, f->map_len, f, &data_off) != 0) {
+    munmap(map, f->map_len);
+    ::close(fd);
+    delete f;
+    return nullptr;
+  }
+  f->data = (const char*)map + data_off;
+  return f;
+}
+
+// shape_out: caller buffer of >= 8 int64; returns ndim (or -1).
+int dcarl_npy_info(void* h, int64_t* shape_out, int* dtype_code) {
+  NpyFile* f = (NpyFile*)h;
+  for (int i = 0; i < f->ndim; ++i) shape_out[i] = f->shape[i];
+  *dtype_code = f->dtype_code;
+  return f->ndim;
+}
+
+const void* dcarl_npy_data(void* h) { return ((NpyFile*)h)->data; }
+
+void dcarl_npy_close(void* h) {
+  NpyFile* f = (NpyFile*)h;
+  munmap(f->map, f->map_len);
+  ::close(f->fd);
+  delete f;
+}
+
+struct NpyStream {
+  NpyFile* file;
+  int64_t row_bytes;
+  int64_t rows_total;
+  int64_t chunk_rows;
+  int64_t next_row = 0;   // next row the prefetcher will load
+  std::thread th;
+  std::mutex mu;
+  std::condition_variable cv_full, cv_empty;
+  std::deque<std::pair<int64_t, std::vector<char>>> ready;  // (rows, bytes)
+  size_t max_ready;
+  std::atomic<bool> stop{false};
+  bool eof_queued = false;
+
+  void run() {
+    for (;;) {
+      if (stop.load()) return;
+      int64_t rows = std::min(chunk_rows, rows_total - next_row);
+      std::vector<char> buf;
+      if (rows > 0) {
+        buf.assign(file->data + next_row * row_bytes,
+                   file->data + (next_row + rows) * row_bytes);
+        next_row += rows;
+      }
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_full.wait(lk, [&] { return stop.load() || ready.size() < max_ready; });
+        if (stop.load()) return;
+        ready.emplace_back(rows, std::move(buf));
+        if (rows == 0) eof_queued = true;
+      }
+      cv_empty.notify_one();
+      if (rows == 0) return;  // EOF sentinel queued
+    }
+  }
+};
+
+// chunk_rows rows per chunk, n_buffers chunks of read-ahead.
+void* dcarl_stream_open(const char* path, int64_t chunk_rows, int n_buffers) {
+  NpyFile* f = (NpyFile*)dcarl_npy_open(path);
+  if (!f) return nullptr;
+  NpyStream* s = new NpyStream();
+  s->file = f;
+  int64_t rb = f->itemsize;
+  for (int i = 1; i < f->ndim; ++i) rb *= f->shape[i];
+  s->row_bytes = rb;
+  s->rows_total = f->shape[0];
+  s->chunk_rows = chunk_rows;
+  s->max_ready = (size_t)std::max(1, n_buffers);
+  s->th = std::thread([s] { s->run(); });
+  return s;
+}
+
+// Copies the next chunk into dst; returns rows copied (0 = EOF, -1 err).
+int64_t dcarl_stream_next(void* h, void* dst, int64_t max_bytes) {
+  NpyStream* s = (NpyStream*)h;
+  std::unique_lock<std::mutex> lk(s->mu);
+  s->cv_empty.wait(lk, [&] { return !s->ready.empty(); });
+  auto& front = s->ready.front();
+  int64_t rows = front.first;
+  int64_t bytes = rows * s->row_bytes;
+  if (bytes > max_bytes) return -1;
+  if (rows > 0) std::memcpy(dst, front.second.data(), (size_t)bytes);
+  if (rows > 0 || !s->eof_queued || s->ready.size() > 1) s->ready.pop_front();
+  lk.unlock();
+  s->cv_full.notify_one();
+  return rows;
+}
+
+int64_t dcarl_stream_row_bytes(void* h) { return ((NpyStream*)h)->row_bytes; }
+int64_t dcarl_stream_total_rows(void* h) { return ((NpyStream*)h)->rows_total; }
+
+void dcarl_stream_close(void* h) {
+  NpyStream* s = (NpyStream*)h;
+  s->stop.store(true);
+  s->cv_full.notify_all();
+  s->th.join();
+  dcarl_npy_close(s->file);
+  delete s;
 }
 
 }  // extern "C"

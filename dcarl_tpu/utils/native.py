@@ -208,3 +208,170 @@ class RecordLog:
         if n < 0:
             raise IOError(f"cannot read {path}")
         return out[:n].copy()
+
+
+def _register_io_symbols(lib):
+    """ctypes signatures for the async writer + npy loader/stream
+    (added lazily so older cached .so builds without them still load
+    the geometry/store surface)."""
+    c_vp, c_cp = ctypes.c_void_p, ctypes.c_char_p
+    lib.dcarl_writer_open.restype = c_vp
+    lib.dcarl_writer_open.argtypes = [c_cp]
+    lib.dcarl_writer_append.argtypes = [c_vp, c_cp, ctypes.c_int]
+    lib.dcarl_writer_flush.argtypes = [c_vp]
+    lib.dcarl_writer_lines_written.restype = ctypes.c_int64
+    lib.dcarl_writer_lines_written.argtypes = [c_vp]
+    lib.dcarl_writer_close.argtypes = [c_vp]
+
+    lib.dcarl_npy_open.restype = c_vp
+    lib.dcarl_npy_open.argtypes = [c_cp]
+    lib.dcarl_npy_info.restype = ctypes.c_int
+    lib.dcarl_npy_info.argtypes = [c_vp, ctypes.POINTER(ctypes.c_int64),
+                                   ctypes.POINTER(ctypes.c_int)]
+    lib.dcarl_npy_data.restype = c_vp
+    lib.dcarl_npy_data.argtypes = [c_vp]
+    lib.dcarl_npy_close.argtypes = [c_vp]
+
+    lib.dcarl_stream_open.restype = c_vp
+    lib.dcarl_stream_open.argtypes = [c_cp, ctypes.c_int64, ctypes.c_int]
+    lib.dcarl_stream_next.restype = ctypes.c_int64
+    lib.dcarl_stream_next.argtypes = [c_vp, ctypes.c_void_p, ctypes.c_int64]
+    lib.dcarl_stream_row_bytes.restype = ctypes.c_int64
+    lib.dcarl_stream_row_bytes.argtypes = [c_vp]
+    lib.dcarl_stream_total_rows.restype = ctypes.c_int64
+    lib.dcarl_stream_total_rows.argtypes = [c_vp]
+    lib.dcarl_stream_close.argtypes = [c_vp]
+
+
+def _io_lib():
+    lib = load_library()
+    if lib is None:
+        return None
+    if not getattr(lib, "_dcarl_io_registered", False):
+        try:
+            _register_io_symbols(lib)
+        except AttributeError:
+            # stale cached build without the IO surface — rebuild once
+            lib = load_library(rebuild=True)
+            if lib is None:
+                return None
+            _register_io_symbols(lib)
+        lib._dcarl_io_registered = True
+    return lib
+
+
+class AsyncLogWriter:
+    """Background-thread batched line writer (native).  Drop-in for the
+    reference's synchronous ``open(path, 'a').write`` record logging —
+    ``append`` never blocks on disk I/O."""
+
+    def __init__(self, path: str):
+        self.lib = _io_lib()
+        if self.lib is None:
+            raise RuntimeError("native library unavailable")
+        self.handle = self.lib.dcarl_writer_open(path.encode())
+        if not self.handle:
+            raise IOError(f"cannot open {path}")
+
+    def append(self, line: str) -> None:
+        data = line.encode()
+        self.lib.dcarl_writer_append(self.handle, data, len(data))
+
+    def flush(self) -> None:
+        self.lib.dcarl_writer_flush(self.handle)
+
+    @property
+    def lines_written(self) -> int:
+        return int(self.lib.dcarl_writer_lines_written(self.handle))
+
+    def close(self) -> None:
+        if self.handle:
+            self.lib.dcarl_writer_close(self.handle)
+            self.handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+_NPY_DTYPES = {1: np.float32, 2: np.float64, 3: np.int32, 4: np.int64,
+               5: np.uint8}
+
+
+def npy_mmap(path: str) -> np.ndarray:
+    """Zero-copy view of a .npy file through the native mmap loader
+    (copied into an owning array on return so the mapping can close)."""
+    lib = _io_lib()
+    if lib is None:
+        return np.load(path)
+    h = lib.dcarl_npy_open(path.encode())
+    if not h:
+        raise IOError(f"cannot open {path} as npy")
+    shape = (ctypes.c_int64 * 8)()
+    code = ctypes.c_int()
+    ndim = lib.dcarl_npy_info(h, shape, ctypes.byref(code))
+    dt = _NPY_DTYPES[code.value]
+    shp = tuple(shape[i] for i in range(ndim))
+    n = int(np.prod(shp))
+    buf = (ctypes.c_char * (n * np.dtype(dt).itemsize)).from_address(
+        lib.dcarl_npy_data(h))
+    arr = np.frombuffer(buf, dtype=dt).reshape(shp).copy()
+    lib.dcarl_npy_close(h)
+    return arr
+
+
+class NpyStream:
+    """Chunked row stream over a .npy file with background read-ahead
+    (double-buffered) — the native data-loader feeding device transfers
+    while the previous chunk computes (SURVEY.md §2.6 data-path item).
+
+    Iterates [chunk_rows, ...] arrays; the final chunk may be short.
+    """
+
+    def __init__(self, path: str, chunk_rows: int, n_buffers: int = 2):
+        self.lib = _io_lib()
+        if self.lib is None:
+            raise RuntimeError("native library unavailable")
+        self.handle = self.lib.dcarl_stream_open(path.encode(),
+                                                 chunk_rows, n_buffers)
+        if not self.handle:
+            raise IOError(f"cannot stream {path}")
+        self.chunk_rows = chunk_rows
+        self.row_bytes = int(self.lib.dcarl_stream_row_bytes(self.handle))
+        self.total_rows = int(self.lib.dcarl_stream_total_rows(self.handle))
+        # row dtype/shape from the header (re-open cheap; header-only)
+        h = self.lib.dcarl_npy_open(path.encode())
+        shape = (ctypes.c_int64 * 8)()
+        code = ctypes.c_int()
+        ndim = self.lib.dcarl_npy_info(h, shape, ctypes.byref(code))
+        self.dtype = _NPY_DTYPES[code.value]
+        self.row_shape = tuple(shape[i] for i in range(1, ndim))
+        self.lib.dcarl_npy_close(h)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> np.ndarray:
+        buf = np.empty(self.chunk_rows * self.row_bytes, np.uint8)
+        rows = self.lib.dcarl_stream_next(
+            self.handle, buf.ctypes.data_as(ctypes.c_void_p),
+            buf.nbytes)
+        if rows < 0:
+            raise IOError("stream chunk larger than buffer")
+        if rows == 0:
+            raise StopIteration
+        out = buf[: rows * self.row_bytes].view(self.dtype)
+        return out.reshape((rows,) + self.row_shape)
+
+    def close(self) -> None:
+        if self.handle:
+            self.lib.dcarl_stream_close(self.handle)
+            self.handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -119,3 +119,69 @@ def test_record_log_roundtrip(tmp_path):
     assert back.shape == (4, 4)
     np.testing.assert_allclose(back[:3], rows)
     np.testing.assert_allclose(back[3], [100, 101, 102, 103])
+
+
+def test_async_log_writer(tmp_path):
+    from dcarl_tpu.utils.native import AsyncLogWriter
+
+    path = str(tmp_path / "records.txt")
+    with AsyncLogWriter(path) as w:
+        for i in range(500):
+            w.append(f"row {i}, value {i * 0.5}")
+        w.flush()
+        assert w.lines_written == 500
+    lines = open(path).read().splitlines()
+    assert len(lines) == 500
+    assert lines[0] == "row 0, value 0.0"
+    assert lines[499] == "row 499, value 249.5"
+
+    # append mode across reopen
+    with AsyncLogWriter(path) as w:
+        w.append("tail")
+    assert open(path).read().splitlines()[-1] == "tail"
+
+
+def test_npy_mmap_roundtrip(tmp_path):
+    import numpy as np
+
+    from dcarl_tpu.utils.native import npy_mmap
+
+    for dtype in (np.float32, np.float64, np.int32, np.int64, np.uint8):
+        arr = (np.arange(60).reshape(3, 4, 5) % 250).astype(dtype)
+        p = str(tmp_path / f"a_{np.dtype(dtype).name}.npy")
+        np.save(p, arr)
+        back = npy_mmap(p)
+        assert back.dtype == dtype and back.shape == (3, 4, 5)
+        np.testing.assert_array_equal(back, arr)
+
+    vec = np.random.default_rng(0).normal(size=(17,))
+    p = str(tmp_path / "vec.npy")
+    np.save(p, vec)
+    np.testing.assert_array_equal(npy_mmap(p), vec)
+
+
+def test_npy_stream_chunks(tmp_path):
+    import numpy as np
+
+    from dcarl_tpu.utils.native import NpyStream
+
+    rng = np.random.default_rng(1)
+    data = rng.normal(size=(1003, 4)).astype(np.float64)
+    p = str(tmp_path / "data.npy")
+    np.save(p, data)
+
+    with NpyStream(p, chunk_rows=100, n_buffers=3) as s:
+        assert s.total_rows == 1003 and s.row_bytes == 32
+        chunks = list(s)
+    sizes = [len(c) for c in chunks]
+    assert sizes == [100] * 10 + [3]
+    np.testing.assert_array_equal(np.concatenate(chunks), data)
+
+    # stream the real bundled dataset when the reference mount exists
+    import os
+
+    ref = "/root/reference/Simulation_testing/Simulation_1/data_carla.npy"
+    if os.path.exists(ref):
+        with NpyStream(ref, chunk_rows=4096) as s:
+            total = sum(len(c) for c in s)
+        assert total == 20000
