@@ -787,3 +787,151 @@ def make_collector_fast(sc: Scenario,
         return jax.lax.scan(one_step, carry, step_keys)
 
     return init_fn, run_fn
+
+
+# ---------------------------------------------------------------------------
+# Confidence-gated deployment driver (RLS test mode at scale)
+# ---------------------------------------------------------------------------
+
+
+def make_gated_driver_fast(sc: Scenario,
+                           env_cfg: EnvConfig = EnvConfig(),
+                           wcfg: WerlingConfig = WerlingConfig(),
+                           store_cfg=None,
+                           dtype=jnp.float32,
+                           use_pallas: bool | None = None):
+    """Lane-major confidence-gated driver — the reference's deployment
+    mode (DCARL_agent.py:35-43 predict loop + RLS.act_test,
+    RLS.py:120-157) as one fused program over [B] lockstep envs:
+
+      plan lattice -> query the confidence store for every candidate
+      action of every env (one fused kernel) -> Welch z-test gate ->
+      follow the winning candidate (rule trajectory when none passes)
+      -> env tick.
+
+    The store is FIXED (inference mode, ``is_training=False`` —
+    deepq/dqn.py:106): store building is the trainer's job
+    (dcarl_tpu/train.py).  RLS action semantics: gated action 0 =
+    follow the planner's rule pick; g >= 1 = follow lattice candidate
+    g; the EXECUTED trajectory index is recorded per step, mirroring
+    ``env_action`` recording (dqn.py:228-236).
+
+    Returns (init_fn, run_fn):
+      init_fn(keys[B, 2]) -> carry
+      run_fn(carry, step_keys[S, 2], store_keys[N, D+1], store_values[N],
+             store_valid[N]) -> (carry, (reward, done, passed, collided,
+                                         executed_action)) each [S, B]
+    """
+    import jax as _jax
+
+    from dcarl_tpu.config import StoreConfig
+    from dcarl_tpu.core import rls as RLSmod
+    from dcarl_tpu.core.store import _raw_moments, moments_to_stats
+    from dcarl_tpu.ops import spline as spl
+    from dcarl_tpu.ops.pallas_store import box_query_moments_sorted
+
+    scfg = store_cfg or StoreConfig()
+    if use_pallas is None:
+        use_pallas = _jax.default_backend() == "tpu"
+
+    sa = de.scenario_to_device(sc, dtype)
+    idx = de.in_state_indices(sc)
+    ref_line = np.asarray(sc.ref_path, np.float64)
+    rp = spl.refpath_from_xy(jnp.asarray(ref_line[:, 0], dtype),
+                             jnp.asarray(ref_line[:, 1], dtype))
+    rp_host = {
+        "s": np.asarray(rp.s, np.float64),
+        "ax": np.asarray(rp.sx.a, np.float64),
+        "bx": np.asarray(rp.sx.b, np.float64),
+        "cx": np.asarray(rp.sx.c, np.float64),
+        "dx": np.asarray(rp.sx.d, np.float64),
+        "ay": np.asarray(rp.sy.a, np.float64),
+        "by": np.asarray(rp.sy.b, np.float64),
+        "cy": np.asarray(rp.sy.c, np.float64),
+        "dy": np.asarray(rp.sy.d, np.float64),
+    }
+    tab = _build_tables(ref_line, rp_host)
+    npdt = np.dtype(jnp.zeros((), dtype).dtype.name).type
+    n_obj = (env_cfg.state_dim - 5) // 5
+    n_v = len(wcfg.target_speeds)
+    n_paths = wcfg.num_paths
+    num_actions = n_paths + 1
+    from dcarl_tpu.core.store import FIELD_HALF_WIDTHS
+    hw = np.asarray(FIELD_HALF_WIDTHS, np.float64)
+    if hw.shape[0] != env_cfg.state_dim + 1:
+        raise ValueError("FIELD_HALF_WIDTHS must match state_dim + 1")
+    half_widths = jnp.asarray(hw, dtype)
+
+    def one_step(carry, key, store_keys, store_values, store_valid):
+        state = carry
+        obs = _obs_ori_soa(state, idx)                      # [20, B]
+        b = obs.shape[1]
+        ego_x, ego_y = obs[0], obs[1]
+        ego_vx, ego_vy, ego_yaw = obs[2], obs[3], obs[4]
+
+        s0, d_signed, vd = _project_ego(ego_x, ego_y, ego_vx, ego_vy,
+                                        tab, npdt)
+        c_speed = jnp.sqrt(ego_vx ** 2 + ego_vy ** 2)
+        lat = _plan_lattice(s0, -d_signed, vd, c_speed, tab, wcfg, npdt)
+
+        obstacles = obs[5:].reshape(n_obj, 5, -1)
+        obstacles = obstacles.at[:, 4, :].set(0.0)
+        free = _collision_free(lat, obstacles, wcfg, npdt)
+        ok = lat.feasible & free
+        masked_cost = jnp.where(ok, lat.cf, jnp.inf)
+        best = jnp.argmin(masked_cost, axis=0).astype(jnp.int32)
+        rule_index = jnp.where(jnp.any(ok, axis=0), best + 1, 0)
+
+        # --- confidence query: every action of every env in one kernel
+        obs_bf = obs.T                                      # [B, 20]
+        queries = RLSmod.candidate_keys(obs_bf, num_actions)
+        flat_q = queries.reshape(-1, queries.shape[-1]).astype(jnp.float32)
+        if use_pallas:
+            moments = box_query_moments_sorted(
+                store_keys, store_values, store_valid, flat_q,
+                half_widths.astype(jnp.float32))
+        else:
+            moments = _raw_moments(store_keys.astype(dtype),
+                                   store_values.astype(dtype),
+                                   store_valid, flat_q.astype(dtype),
+                                   half_widths)
+        qs = moments_to_stats(moments)
+        stats = RLSmod.ActionStats(
+            count=qs.count.reshape(b, num_actions).astype(npdt),
+            mean=qs.mean.reshape(b, num_actions).astype(npdt),
+            var=qs.var.reshape(b, num_actions).astype(npdt),
+            sigma=qs.sigma.reshape(b, num_actions).astype(npdt))
+
+        g = RLSmod.act_test(stats, scfg)                    # [B]
+        executed = jnp.where(g == 0, rule_index, g).astype(jnp.int32)
+
+        # follow the executed candidate
+        brake_path = jnp.argmin(lat.cf, axis=0).astype(jnp.int32)
+        p_sel = jnp.where(executed == 0, brake_path, executed - 1)
+        oh_p = _onehot(p_sel, n_paths).astype(npdt)
+        traj_x = jnp.sum(lat.x * oh_p[:, None, :], axis=0)
+        traj_y = jnp.sum(lat.y * oh_p[:, None, :], axis=0)
+        oh_v = oh_p.reshape(-1, n_v, oh_p.shape[-1]).sum(axis=0)
+        speed_end = jnp.sum(lat.s_d_end * oh_v, axis=0)
+        speed_end = jnp.where(executed == 0, 0.0, speed_end)
+
+        ego_v = jnp.sqrt(ego_vx ** 2 + ego_vy ** 2)
+        acc, steer = _control(ego_x, ego_y, ego_yaw, ego_v,
+                              traj_x, traj_y, speed_end, npdt)
+        state, reward, done = _step_env_soa(state, acc, steer, key, sa,
+                                            idx, env_cfg, npdt)
+        return state, (reward, done, state.passed, state.collided, executed)
+
+    @jax.jit
+    def init_fn(keys):
+        states = jax.vmap(lambda k: de.reset(sa, k, env_cfg))(keys)
+        return _state_to_lane_major(states)
+
+    @jax.jit
+    def run_fn(carry, step_keys, store_keys, store_values, store_valid):
+        def body(c, k):
+            return one_step(c, k, store_keys, store_values, store_valid)
+
+        return jax.lax.scan(body, carry, step_keys)
+
+    return init_fn, run_fn

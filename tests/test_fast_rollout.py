@@ -184,3 +184,86 @@ def test_fast_collector_matches_readable_collector():
     d = np.asarray(rec_s.done)
     assert d.any()
     assert (np.asarray(rec_s.used_action).max() >= 1)
+
+
+def test_gated_driver_confidence_activation():
+    """Deployment-mode gated driver: an empty store falls back to the
+    rule pick everywhere; a store seeded so one candidate clearly beats
+    the rule (Welch z-test) activates exactly that candidate wherever
+    eligibility holds — and the gated stats match the readable
+    all_action_stats + act_test composition."""
+    from dcarl_tpu.config import StoreConfig
+    from dcarl_tpu.core import rls as RLSmod
+    from dcarl_tpu.core.store import (ConfidenceStore, FIELD_HALF_WIDTHS,
+                                      box_query_stats)
+    from dcarl_tpu.planning.fast_rollout import make_gated_driver_fast
+
+    sc = t_intersection()
+    cfg = EnvConfig(reset_jitter=0.0)
+    scfg = StoreConfig(visited_times_thres=10, rl_visited_times_min=5)
+    B, S = 8, 20
+    dtype = jnp.float64
+
+    init_f, run_f = make_gated_driver_fast(sc, cfg, store_cfg=scfg,
+                                           dtype=dtype, use_pallas=False)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    carry = init_f(keys)
+    sk = jax.random.split(jax.random.PRNGKey(1), S)
+
+    # empty store -> pure rule behavior == the fast rule driver
+    n_rows = 256
+    d = len(FIELD_HALF_WIDTHS)
+    empty_keys = jnp.zeros((n_rows, d), jnp.float32)
+    empty_vals = jnp.zeros((n_rows,), jnp.float32)
+    empty_valid = jnp.zeros((n_rows,), bool)
+    _, (r_g, d_g, p_g, c_g, act_g) = run_f(carry, sk, empty_keys, empty_vals,
+                                           empty_valid)
+
+    init_r, run_r = make_rule_driver_fast(sc, cfg, dtype=dtype)
+    carry_r = init_r(keys)
+    _, (r_r, d_r, _, _) = run_r(carry_r, sk)
+    np.testing.assert_allclose(np.asarray(r_g), np.asarray(r_r), atol=1e-9)
+
+    # seeded store: candidate action 3 has many high-value entries near
+    # the ACTUAL start observation (world-frame objects included); the
+    # rule key (0) gets many low-value entries
+    from dcarl_tpu.env import driving_env as de_mod
+
+    sa = de_mod.scenario_to_device(sc, dtype)
+    idx0 = de_mod.in_state_indices(sc)
+    env0 = de_mod.reset(sa, keys[0], cfg)
+    _, obs0_j = de_mod.wrap_state(env0, sa, idx0, cfg)
+    obs0 = np.asarray(obs0_j)
+    rng = np.random.default_rng(2)
+    rows, vals = [], []
+    for _ in range(40):
+        base = obs0 + rng.normal(0, 0.05, 20)
+        rows.append(np.concatenate([base, [0.0]]))
+        vals.append(-5.0 + rng.normal(0, 0.1))
+        rows.append(np.concatenate([base, [3.0]]))
+        vals.append(5.0 + rng.normal(0, 0.1))
+    pad = n_rows - len(rows)
+    keys_np = np.concatenate([np.asarray(rows),
+                              np.full((pad, d), 1e6)]).astype(np.float32)
+    vals_np = np.concatenate([np.asarray(vals), np.zeros(pad)]).astype(np.float32)
+    valid_np = np.concatenate([np.ones(len(rows), bool), np.zeros(pad, bool)])
+
+    carry2 = init_f(keys)
+    _, (r2, d2, p2, c2, act2) = run_f(carry2, jax.random.split(
+        jax.random.PRNGKey(1), 3), jnp.asarray(keys_np),
+        jnp.asarray(vals_np), jnp.asarray(valid_np))
+    # first step: every env sits at the seeded observation -> candidate 3
+    assert (np.asarray(act2)[0] == 3).all()
+
+    # cross-check the gate against the readable composition
+    store = ConfidenceStore(jnp.asarray(keys_np, jnp.float64),
+                            jnp.asarray(keys_np[:, -1], jnp.float64),
+                            jnp.asarray(vals_np, jnp.float64),
+                            jnp.asarray(len(rows), jnp.int32),
+                            jnp.asarray(0, jnp.int32))
+    obs_b = jnp.asarray(np.tile(obs0, (4, 1)))
+    stats = RLSmod.all_action_stats(store, obs_b,
+                                    jnp.asarray(FIELD_HALF_WIDTHS, jnp.float64),
+                                    11, use_pallas=False)
+    g = RLSmod.act_test(stats, scfg)
+    assert (np.asarray(g) == 3).all()
