@@ -108,6 +108,38 @@ def bench_confidence_evals(n_rows: int, n_queries: int, repeats: int = 5):
     return n_queries * inner / best
 
 
+def bench_train_steps(batch: int, steps: int, store_capacity: int,
+                      repeats: int = 3):
+    """Integrated training loop (plan -> confidence query -> RLS gate ->
+    DQN -> drive -> store insert -> TD update) env-steps/s, lane-major
+    trainer on a 1-device mesh."""
+    import jax
+
+    from dcarl_tpu.config import DCARLConfig
+    from dcarl_tpu.parallel.mesh import make_mesh
+    from dcarl_tpu.train_fast import make_trainer_fast
+
+    mesh = make_mesh("env", jax.devices()[:1])
+    init_fn, _, _, run_factory = make_trainer_fast(
+        mesh, "env", DCARLConfig(),
+        batch_per_device=batch,
+        store_capacity_per_device=store_capacity,
+        replay_capacity_per_device=store_capacity,
+    )
+    run_fn = run_factory(steps)
+    state = init_fn(seed=0)
+    state, ms = run_fn(state, jax.random.PRNGKey(0))   # compile + warmup
+    jax.block_until_ready(ms.reward_mean)
+
+    best = float("inf")
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        state, ms = run_fn(state, jax.random.PRNGKey(1 + i))
+        jax.block_until_ready(ms.reward_mean)
+        best = min(best, time.perf_counter() - t0)
+    return batch * steps / best
+
+
 def main():
     _enable_compile_cache()
     import jax
@@ -120,12 +152,15 @@ def main():
         # under 4% of the run.
         batch, steps = 32768, 300
         store_rows, store_queries = 1 << 16, 4096
+        train_batch, train_steps, train_store = 4096, 20, 1 << 14
     else:  # CPU smoke mode
         batch, steps = 64, 50
         store_rows, store_queries = 4096, 256
+        train_batch, train_steps, train_store = 16, 3, 512
 
     env_rate = bench_env_steps(batch, steps)
     conf_rate = bench_confidence_evals(store_rows, store_queries)
+    train_rate = bench_train_steps(train_batch, train_steps, train_store)
 
     target_per_chip = 625_000.0  # 10M aggregate / 16 chips (BASELINE.json)
     print(json.dumps({
@@ -135,6 +170,8 @@ def main():
         "vs_baseline": round(env_rate / target_per_chip, 4),
         "confidence_evals_per_s": round(conf_rate, 1),
         "confidence_store_rows": store_rows,
+        "train_env_steps_per_s": round(train_rate, 1),
+        "train_batch": train_batch,
         "env_batch": batch,
         "backend": backend,
     }))

@@ -96,13 +96,14 @@ def store_insert(
     keys_new = store.keys.at[safe_slots].set(keys, mode="drop")
     actions_new = store.actions.at[safe_slots].set(actions, mode="drop")
     values_new = store.values.at[safe_slots].set(values, mode="drop")
-    n_added = jnp.sum(m)
+    # keep i32 under jax_enable_x64 (sum() promotes) so scan carries match
+    n_added = jnp.sum(m).astype(jnp.int32)
     return ConfidenceStore(
         keys=keys_new,
         actions=actions_new,
         values=values_new,
-        size=jnp.minimum(store.size + n_added, capacity),
-        head=(store.head + n_added) % capacity,
+        size=jnp.minimum(store.size + n_added, capacity).astype(jnp.int32),
+        head=((store.head + n_added) % capacity).astype(jnp.int32),
     )
 
 

@@ -82,8 +82,11 @@ def replay_push(
         done=replay.done.at[slots].set(done.astype(dt), mode="drop"),
         priority=replay.priority.at[slots].set(
             jnp.full(obs.shape[0], max_prio, dt), mode="drop"),
-        size=jnp.minimum(replay.size + jnp.sum(mi), capacity),
-        head=(replay.head + jnp.sum(mi)) % capacity,
+        # keep i32 under jax_enable_x64 (sum() promotes) so scan carries
+        # keep a stable dtype
+        size=jnp.minimum(replay.size + jnp.sum(mi),
+                         capacity).astype(jnp.int32),
+        head=((replay.head + jnp.sum(mi)) % capacity).astype(jnp.int32),
     )
 
 

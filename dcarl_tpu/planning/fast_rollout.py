@@ -66,6 +66,32 @@ class RefTables(NamedTuple):
 _G_ROWS = 19  # rows in the projection gather matrix (see _build_tables)
 
 
+def build_ref_tables(ref_line: np.ndarray, dtype=jnp.float32) -> RefTables:
+    """One-stop host-side table build: reference-path spline fit +
+    projection gather rows.  Pinned to the local CPU backend — this is
+    build-time precomputation of a few hundred scalars, and dispatching
+    its many small ops to a (possibly remote) TPU costs minutes of
+    round-trips for zero benefit."""
+    from dcarl_tpu.ops import spline as spl
+
+    ref_line = np.asarray(ref_line, np.float64)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        rp = spl.refpath_from_xy(jnp.asarray(ref_line[:, 0], dtype),
+                                 jnp.asarray(ref_line[:, 1], dtype))
+        rp_host = {
+            "s": np.asarray(rp.s, np.float64),
+            "ax": np.asarray(rp.sx.a, np.float64),
+            "bx": np.asarray(rp.sx.b, np.float64),
+            "cx": np.asarray(rp.sx.c, np.float64),
+            "dx": np.asarray(rp.sx.d, np.float64),
+            "ay": np.asarray(rp.sy.a, np.float64),
+            "by": np.asarray(rp.sy.b, np.float64),
+            "cy": np.asarray(rp.sy.c, np.float64),
+            "dy": np.asarray(rp.sy.d, np.float64),
+        }
+    return _build_tables(ref_line, rp_host)
+
+
 def _build_tables(ref_line: np.ndarray, rp_host) -> RefTables:
     """``rp_host``: host copies (np.ndarray) of RefPath spline coeffs."""
     line = np.asarray(ref_line, np.float64)
@@ -561,25 +587,10 @@ def make_rule_driver_fast(sc: Scenario,
     Identical tick semantics to ``rollout.make_rule_driver``; outputs
     are [S, B] (step-major) instead of [B, S].
     """
-    from dcarl_tpu.ops import spline as spl
-
     sa = de.scenario_to_device(sc, dtype)
     idx = de.in_state_indices(sc)
     ref_line = np.asarray(sc.ref_path, np.float64)
-    rp = spl.refpath_from_xy(jnp.asarray(ref_line[:, 0], dtype),
-                             jnp.asarray(ref_line[:, 1], dtype))
-    rp_host = {
-        "s": np.asarray(rp.s, np.float64),
-        "ax": np.asarray(rp.sx.a, np.float64),
-        "bx": np.asarray(rp.sx.b, np.float64),
-        "cx": np.asarray(rp.sx.c, np.float64),
-        "dx": np.asarray(rp.sx.d, np.float64),
-        "ay": np.asarray(rp.sy.a, np.float64),
-        "by": np.asarray(rp.sy.b, np.float64),
-        "cy": np.asarray(rp.sy.c, np.float64),
-        "dy": np.asarray(rp.sy.d, np.float64),
-    }
-    tab = _build_tables(ref_line, rp_host)
+    tab = build_ref_tables(ref_line, dtype)
     npdt = np.dtype(jnp.zeros((), dtype).dtype.name).type
     n_obj = (env_cfg.state_dim - 5) // 5
     n_v = len(wcfg.target_speeds)
@@ -672,25 +683,10 @@ def make_collector_fast(sc: Scenario,
     dqn_value_collect.py loop, SURVEY.md §3.2): identical trigger/lock/
     round-robin semantics, [S, B]-shaped records.  ~5x the readable
     path's throughput on TPU (same layout win as the rule driver)."""
-    from dcarl_tpu.ops import spline as spl
-
     sa = de.scenario_to_device(sc, dtype)
     idx = de.in_state_indices(sc)
     ref_line = np.asarray(sc.ref_path, np.float64)
-    rp = spl.refpath_from_xy(jnp.asarray(ref_line[:, 0], dtype),
-                             jnp.asarray(ref_line[:, 1], dtype))
-    rp_host = {
-        "s": np.asarray(rp.s, np.float64),
-        "ax": np.asarray(rp.sx.a, np.float64),
-        "bx": np.asarray(rp.sx.b, np.float64),
-        "cx": np.asarray(rp.sx.c, np.float64),
-        "dx": np.asarray(rp.sx.d, np.float64),
-        "ay": np.asarray(rp.sy.a, np.float64),
-        "by": np.asarray(rp.sy.b, np.float64),
-        "cy": np.asarray(rp.sy.c, np.float64),
-        "dy": np.asarray(rp.sy.d, np.float64),
-    }
-    tab = _build_tables(ref_line, rp_host)
+    tab = build_ref_tables(ref_line, dtype)
     npdt = np.dtype(jnp.zeros((), dtype).dtype.name).type
     n_obj = (env_cfg.state_dim - 5) // 5
     n_v = len(wcfg.target_speeds)
@@ -794,6 +790,44 @@ def make_collector_fast(sc: Scenario,
 # ---------------------------------------------------------------------------
 
 
+def _lane_major_spec(mesh, axis: str):
+    """NamedSharding builder: shard a lane-major pytree on its LAST
+    axis (the env batch) over ``axis``; scalars replicate."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def spec(x):
+        if getattr(x, "ndim", 0) == 0:
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, P(*([None] * (x.ndim - 1) + [axis])))
+
+    return spec
+
+
+def shard_rule_driver(init_fn, run_fn, mesh, axis: str = "env"):
+    """Wrap the lane-major rule driver for a device mesh.
+
+    The rule driver has no cross-env coupling, so sharding is pure data
+    parallelism: every array's trailing env-batch axis is laid out over
+    ``axis`` and XLA partitions the whole scan with zero collectives —
+    the TPU-native form of the reference's SubprocVecEnv process pool
+    (subproc_vec_env.py:10-47), except the "workers" are mesh devices
+    inside one program.  Returns (init_sharded, run_sharded); ``keys``
+    passed to init must have batch divisible by the mesh size.
+    """
+    import jax as _jax
+
+    def init_sharded(keys):
+        carry = init_fn(keys)
+        spec = _lane_major_spec(mesh, axis)
+        return _jax.tree.map(lambda x: _jax.device_put(x, spec(x)), carry)
+
+    @_jax.jit
+    def run_sharded(carry, step_keys):
+        return run_fn(carry, step_keys)
+
+    return init_sharded, run_sharded
+
+
 def make_gated_driver_fast(sc: Scenario,
                            env_cfg: EnvConfig = EnvConfig(),
                            wcfg: WerlingConfig = WerlingConfig(),
@@ -827,7 +861,6 @@ def make_gated_driver_fast(sc: Scenario,
     from dcarl_tpu.config import StoreConfig
     from dcarl_tpu.core import rls as RLSmod
     from dcarl_tpu.core.store import _raw_moments, moments_to_stats
-    from dcarl_tpu.ops import spline as spl
     from dcarl_tpu.ops.pallas_store import box_query_moments_sorted
 
     scfg = store_cfg or StoreConfig()
@@ -837,20 +870,7 @@ def make_gated_driver_fast(sc: Scenario,
     sa = de.scenario_to_device(sc, dtype)
     idx = de.in_state_indices(sc)
     ref_line = np.asarray(sc.ref_path, np.float64)
-    rp = spl.refpath_from_xy(jnp.asarray(ref_line[:, 0], dtype),
-                             jnp.asarray(ref_line[:, 1], dtype))
-    rp_host = {
-        "s": np.asarray(rp.s, np.float64),
-        "ax": np.asarray(rp.sx.a, np.float64),
-        "bx": np.asarray(rp.sx.b, np.float64),
-        "cx": np.asarray(rp.sx.c, np.float64),
-        "dx": np.asarray(rp.sx.d, np.float64),
-        "ay": np.asarray(rp.sy.a, np.float64),
-        "by": np.asarray(rp.sy.b, np.float64),
-        "cy": np.asarray(rp.sy.c, np.float64),
-        "dy": np.asarray(rp.sy.d, np.float64),
-    }
-    tab = _build_tables(ref_line, rp_host)
+    tab = build_ref_tables(ref_line, dtype)
     npdt = np.dtype(jnp.zeros((), dtype).dtype.name).type
     n_obj = (env_cfg.state_dim - 5) // 5
     n_v = len(wcfg.target_speeds)

@@ -1,0 +1,353 @@
+"""Lane-major integrated DCARL training step — the throughput trainer.
+
+Same system semantics as :mod:`dcarl_tpu.train` (the reference's whole
+distributed loop as one SPMD program, SURVEY.md §3.3/§3.4):
+
+  plan -> confidence query -> RLS train gate -> epsilon-greedy DQN
+  proposal -> drive -> trajectory-buffer flush -> store insert ->
+  prioritized TD step with pmean-ed gradients
+
+but with the planning/env half in the lane-major (batch-last) layout of
+:mod:`dcarl_tpu.planning.fast_rollout` — the env batch rides the VPU
+lanes (DESIGN.md §4b), which is ~6x faster than the vmapped batch-first
+path on TPU.  The learner half (Q-network, replay, TD update) stays
+batch-first: those are plain matmuls where layout is already right.
+
+The two trainers are semantically pinned to each other: with
+``EnvConfig.reset_jitter = 0`` and the same PRNG key they split the
+same RNG streams in the same order, so actions, gating draws, store
+contents, and TD batches match step for step
+(``tests/test_train_fast.py`` asserts the equivalence).
+
+On TPU the per-candidate confidence query runs through the Pallas
+sorted-band kernel (``ops/pallas_store.py``); per-shard moments still
+``psum`` across the mesh so every device sees global statistics —
+exactly the reference's single global R-tree (RLS.py:161-181), sharded.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dcarl_tpu.config import DCARLConfig
+from dcarl_tpu.core import rls as RLS
+from dcarl_tpu.core import store as ST
+from dcarl_tpu.core.store import ConfidenceStore, _raw_moments, moments_to_stats
+from dcarl_tpu.env import driving_env as de
+from dcarl_tpu.env.scenario import Scenario, t_intersection
+from dcarl_tpu.models import dqn as DQ
+from dcarl_tpu.models import networks as NET
+from dcarl_tpu.models import replay as RB
+from dcarl_tpu.planning import fast_rollout as FR
+from dcarl_tpu.train import StepMetrics
+
+
+class FastTrainState(NamedTuple):
+    """Mirror of :class:`dcarl_tpu.train.TrainState` with the env state
+    and observations lane-major ([S, ..., B_local])."""
+
+    env: FR.FastEnvState           # [S, ..., B_local] lane-major
+    obs_ori: jax.Array             # [S, 20, B_local]
+    traj_obs: jax.Array            # [S, B_local, W, 20] (batch-first: small)
+    traj_act: jax.Array            # [S, B_local, W]
+    traj_rew: jax.Array            # [S, B_local, W]
+    traj_len: jax.Array            # [S, B_local]
+    store_keys: jax.Array          # [S, N_local, 21]
+    store_actions: jax.Array       # [S, N_local]
+    store_values: jax.Array        # [S, N_local]
+    store_size: jax.Array          # [S]
+    store_head: jax.Array          # [S]
+    replay: RB.Replay              # [S, ...]
+    params: dict                   # replicated
+    target_params: dict            # replicated
+    opt_state: optax.OptState      # replicated
+    frame: jax.Array               # replicated i32
+
+
+def make_trainer_fast(
+    mesh: Mesh,
+    axis: str = "env",
+    cfg: DCARLConfig = DCARLConfig(),
+    batch_per_device: int = 1024,
+    store_capacity_per_device: int = 1 << 14,
+    replay_capacity_per_device: int = 1 << 14,
+    scenario: Optional[Scenario] = None,
+    use_pallas: Optional[bool] = None,
+    dtype=jnp.float32,
+):
+    """Build (init_fn, step_fn, learner) for the lane-major integrated
+    loop.  Same contract as :func:`dcarl_tpu.train.make_trainer`."""
+    s_shards = mesh.shape[axis]
+    sc = scenario or t_intersection(cfg.env)
+    sa = de.scenario_to_device(sc, dtype)
+    in_idx = de.in_state_indices(sc)
+    ref_line = np.asarray(sc.ref_path, np.float64)
+    tab = FR.build_ref_tables(ref_line, dtype)
+    npdt = np.dtype(jnp.zeros((), dtype).dtype.name).type
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    wcfg = cfg.werling
+    scfg = cfg.store
+    half_widths = jnp.asarray(ST.FIELD_HALF_WIDTHS, jnp.float32)
+    num_actions = wcfg.num_paths + 1
+    obs_dim = cfg.env.state_dim
+    n_obj = (obs_dim - 5) // 5
+    n_v = len(wcfg.target_speeds)
+    n_paths = wcfg.num_paths
+
+    net = NET.AttentionQNet(num_actions=num_actions,
+                            token_dim=cfg.dqn.token_dim,
+                            width=cfg.dqn.attention_width,
+                            hidden=cfg.dqn.hidden_dim)
+    learner = DQ.DQN(net, obs_dim=obs_dim, cfg=cfg.dqn)
+
+    shard = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    # ------------------------------------------------------------------
+    def init_fn(seed: int = 0) -> FastTrainState:
+        key = jax.random.PRNGKey(seed)
+        k_env, k_net = jax.random.split(key)
+        env_keys = jax.random.split(
+            k_env, s_shards * batch_per_device
+        ).reshape(s_shards, batch_per_device, 2)
+        env_bf = jax.vmap(jax.vmap(
+            lambda k: de.reset(sa, k, cfg.env)))(env_keys)
+        env = jax.vmap(FR._state_to_lane_major)(env_bf)
+        obs_ori = jax.vmap(lambda st: FR._obs_ori_soa(st, in_idx))(env)
+
+        params = net.init(k_net, jnp.zeros((1, obs_dim)))
+        w = scfg.n_step_window
+        state = FastTrainState(
+            env=env,
+            obs_ori=obs_ori,
+            traj_obs=jnp.zeros((s_shards, batch_per_device, w, obs_dim)),
+            traj_act=jnp.zeros((s_shards, batch_per_device, w)),
+            traj_rew=jnp.zeros((s_shards, batch_per_device, w)),
+            traj_len=jnp.zeros((s_shards, batch_per_device), jnp.int32),
+            store_keys=jnp.zeros((s_shards, store_capacity_per_device,
+                                  obs_dim + 1)),
+            store_actions=jnp.zeros((s_shards, store_capacity_per_device)),
+            store_values=jnp.zeros((s_shards, store_capacity_per_device)),
+            store_size=jnp.zeros((s_shards,), jnp.int32),
+            store_head=jnp.zeros((s_shards,), jnp.int32),
+            replay=jax.vmap(
+                lambda _: RB.replay_init(replay_capacity_per_device, obs_dim)
+            )(jnp.arange(s_shards)),
+            params=params,
+            target_params=jax.tree.map(jnp.copy, params),
+            opt_state=learner.tx.init(params),
+            frame=jnp.zeros((), jnp.int32),
+        )
+        place = lambda x: jax.device_put(x, shard)
+        return FastTrainState(
+            env=jax.tree.map(place, state.env),
+            obs_ori=place(state.obs_ori),
+            traj_obs=place(state.traj_obs),
+            traj_act=place(state.traj_act),
+            traj_rew=place(state.traj_rew),
+            traj_len=place(state.traj_len),
+            store_keys=place(state.store_keys),
+            store_actions=place(state.store_actions),
+            store_values=place(state.store_values),
+            store_size=place(state.store_size),
+            store_head=place(state.store_head),
+            replay=jax.tree.map(place, state.replay),
+            params=jax.device_put(state.params, repl),
+            target_params=jax.device_put(state.target_params, repl),
+            opt_state=jax.device_put(state.opt_state, repl),
+            frame=jax.device_put(state.frame, repl),
+        )
+
+    # ------------------------------------------------------------------
+    def _shard_step(state: FastTrainState, key: jax.Array
+                    ) -> Tuple[FastTrainState, StepMetrics]:
+        obs = state.obs_ori[0]              # [20, B] lane-major
+        b = obs.shape[1]
+        local_store = ConfidenceStore(
+            state.store_keys[0], state.store_actions[0],
+            state.store_values[0], state.store_size[0], state.store_head[0])
+
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        k_act, k_gate, k_env, k_train = jax.random.split(key, 4)
+
+        ego_x, ego_y = obs[0], obs[1]
+        ego_vx, ego_vy, ego_yaw = obs[2], obs[3], obs[4]
+
+        # 1. plan all candidates per env (lane-major lattice)
+        s0, d_signed, vd = FR._project_ego(ego_x, ego_y, ego_vx, ego_vy,
+                                           tab, npdt)
+        c_speed = jnp.sqrt(ego_vx ** 2 + ego_vy ** 2)
+        lat = FR._plan_lattice(s0, -d_signed, vd, c_speed, tab, wcfg, npdt)
+
+        # 2. confidence stats: local moments + psum over store shards
+        obs_bf = obs.T                      # [B, 20]
+        keys_q = RLS.candidate_keys(obs_bf, num_actions)
+        flat_q = keys_q.reshape(-1, obs_dim + 1)
+        n_local = local_store.keys.shape[0]
+        valid = (jax.lax.broadcasted_iota(jnp.int32, (n_local, 1), 0)
+                 .squeeze(-1) < local_store.size)
+        if use_pallas:
+            from dcarl_tpu.ops.pallas_store import box_query_moments_sorted
+            moments = box_query_moments_sorted(
+                local_store.keys, local_store.values, valid,
+                flat_q.astype(jnp.float32), half_widths)
+        else:
+            moments = _raw_moments(local_store.keys, local_store.values,
+                                   valid, flat_q, half_widths)
+        moments = jax.lax.psum(moments, axis)
+        qstats = moments_to_stats(moments)
+        stats = RLS.ActionStats(
+            count=qstats.count.reshape(b, num_actions),
+            mean=qstats.mean.reshape(b, num_actions),
+            var=qstats.var.reshape(b, num_actions),
+            sigma=qstats.sigma.reshape(b, num_actions),
+        )
+
+        # 3-4. DQN proposes, RLS gates (deepq/dqn.py:226-236)
+        dqn_state = DQ.DQNState(state.params, state.target_params,
+                                state.opt_state, None, state.frame)
+        rl_action = learner.act_epsilon_greedy(dqn_state, obs_bf, k_act)
+        env_action = RLS.act_train(stats, rl_action, k_gate, scfg)
+
+        # 5. follow the selected candidate (trajectory_by_index: 0=brake)
+        brake_path = jnp.argmin(lat.cf, axis=0).astype(jnp.int32)
+        p_sel = jnp.where(env_action == 0, brake_path, env_action - 1)
+        oh_p = FR._onehot(p_sel, n_paths).astype(npdt)
+        traj_x = jnp.sum(lat.x * oh_p[:, None, :], axis=0)
+        traj_y = jnp.sum(lat.y * oh_p[:, None, :], axis=0)
+        oh_v = oh_p.reshape(-1, n_v, oh_p.shape[-1]).sum(axis=0)
+        speed_end = jnp.sum(lat.s_d_end * oh_v, axis=0)
+        speed_end = jnp.where(env_action == 0, 0.0, speed_end)
+
+        ego_v = jnp.sqrt(ego_vx ** 2 + ego_vy ** 2)
+        acc, steer = FR._control(ego_x, ego_y, ego_yaw, ego_v,
+                                 traj_x, traj_y, speed_end, npdt)
+        env2, reward, done = FR._step_env_soa(
+            jax.tree.map(lambda x: x[0], state.env), acc, steer, k_env,
+            sa, in_idx, cfg.env, npdt)
+        obs2 = FR._obs_ori_soa(env2, in_idx)
+        obs2_bf = obs2.T
+
+        # 6. trajectory-buffer push -> store records (RLS.add_data)
+        def push_one(to, ta, tr, tl, o, a, r, d):
+            buf = RLS.TrajectoryBuffer(to, ta, tr, tl)
+            return RLS.traj_buffer_push(
+                buf, o, a.astype(jnp.float32), r, d, scfg)
+
+        bufs, recs = jax.vmap(push_one)(
+            state.traj_obs[0], state.traj_act[0], state.traj_rew[0],
+            state.traj_len[0], obs_bf, env_action, reward, done)
+        rec_keys = recs.keys.reshape(-1, obs_dim + 1)
+        new_store = ST.store_insert(local_store, rec_keys,
+                                    recs.actions.reshape(-1),
+                                    recs.values.reshape(-1),
+                                    recs.valid.reshape(-1))
+
+        # 7. replay push + TD step with pmean-ed gradients
+        replay = jax.tree.map(lambda x: x[0], state.replay)
+        replay = RB.replay_push(replay, obs_bf, env_action, reward,
+                                obs2_bf, done.astype(jnp.float32))
+        beta = DQ.beta_by_frame(state.frame, cfg.dqn)
+        batch = RB.replay_sample(replay, k_train, cfg.dqn.batch_size,
+                                 alpha=cfg.dqn.priority_alpha, beta=beta)
+        (loss, prios), grads = jax.value_and_grad(
+            lambda p: learner.td_loss(p, state.target_params, batch,
+                                      jnp.zeros((cfg.dqn.batch_size,))),
+            has_aux=True)(state.params)
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
+        updates, opt_state = learner.tx.update(grads, state.opt_state,
+                                               state.params)
+        params = optax.apply_updates(state.params, updates)
+        replay = RB.replay_update_priorities(replay, batch.indices, prios)
+
+        frame = state.frame + 1
+        sync = (frame % cfg.dqn.target_update_every) == 0
+        target_params = jax.tree.map(
+            lambda t, p: jnp.where(sync, p, t), state.target_params, params)
+
+        metrics = StepMetrics(
+            reward_mean=jax.lax.pmean(jnp.mean(reward), axis),
+            done_count=jax.lax.psum(jnp.sum(done), axis),
+            pass_count=jax.lax.psum(jnp.sum(env2.passed & done), axis),
+            collision_count=jax.lax.psum(jnp.sum(env2.collided & done), axis),
+            loss=loss,
+            rule_fraction=jax.lax.pmean(jnp.mean(env_action == 0), axis),
+            store_rows=jax.lax.psum(new_store.size, axis),
+        )
+
+        new_state = FastTrainState(
+            env=jax.tree.map(lambda x: x[None], env2),
+            obs_ori=obs2[None],
+            traj_obs=bufs.obs[None],
+            traj_act=bufs.action[None],
+            traj_rew=bufs.reward[None],
+            traj_len=bufs.length[None],
+            store_keys=new_store.keys[None],
+            store_actions=new_store.actions[None],
+            store_values=new_store.values[None],
+            store_size=new_store.size[None],
+            store_head=new_store.head[None],
+            replay=jax.tree.map(lambda x: x[None], replay),
+            params=params,
+            target_params=target_params,
+            opt_state=opt_state,
+            frame=frame,
+        )
+        return new_state, metrics
+
+    sharded_specs = FastTrainState(
+        env=jax.tree.map(lambda _: P(axis), FR.FastEnvState(*[0] * 11)),
+        obs_ori=P(axis),
+        traj_obs=P(axis), traj_act=P(axis), traj_rew=P(axis),
+        traj_len=P(axis),
+        store_keys=P(axis), store_actions=P(axis), store_values=P(axis),
+        store_size=P(axis), store_head=P(axis),
+        replay=jax.tree.map(lambda _: P(axis), RB.Replay(*[0] * 8)),
+        params=P(), target_params=P(), opt_state=P(), frame=P(),
+    )
+
+    def _wrapped(state_tuple, key: jax.Array):
+        new_state, metrics = _shard_step(FastTrainState(*state_tuple), key)
+        return tuple(new_state), metrics
+
+    step_sm = shard_map(
+        _wrapped, mesh=mesh,
+        in_specs=(tuple(sharded_specs), P()),
+        out_specs=(tuple(sharded_specs),
+                   jax.tree.map(lambda _: P(), StepMetrics(*[0] * 7))),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step_fn(state: FastTrainState, key: jax.Array):
+        new_state, metrics = step_sm(tuple(state), key)
+        return FastTrainState(*new_state), StepMetrics(*metrics)
+
+    def run_fn_factory(n_steps: int):
+        """A scanned multi-step runner: one dispatch for ``n_steps``
+        training ticks (amortizes the per-executable launch floor)."""
+
+        @jax.jit
+        def run_fn(state: FastTrainState, key: jax.Array):
+            keys = jax.random.split(key, n_steps)
+
+            def body(s, k):
+                s2, m = step_sm(tuple(s), k)
+                return FastTrainState(*s2), m
+
+            return jax.lax.scan(body, state, keys)
+
+        return run_fn
+
+    return init_fn, step_fn, learner, run_fn_factory

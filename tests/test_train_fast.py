@@ -1,0 +1,107 @@
+"""Lane-major integrated trainer: equivalence with the readable trainer.
+
+The fast trainer (train_fast.py) re-lays the planning/env half of the
+integrated SPMD step in the batch-last layout; with zero reset jitter
+and the same PRNG key it must reproduce the readable trainer
+(train.py) step for step — same gating decisions, same store growth,
+same TD batches, same metrics.  This is the same pinning strategy as
+tests/test_fast_rollout.py (DESIGN.md §4b: "fast can never drift from
+correct silently").
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dcarl_tpu.config import DCARLConfig, DQNConfig, EnvConfig
+from dcarl_tpu.parallel.mesh import make_mesh
+from dcarl_tpu.train import make_trainer
+from dcarl_tpu.train_fast import make_trainer_fast
+
+
+def _cfg():
+    return DCARLConfig(
+        env=EnvConfig(reset_jitter=0.0),
+        dqn=DQNConfig(batch_size=8, replay_capacity=256,
+                      target_update_every=3),
+    )
+
+
+@pytest.fixture(scope="module")
+def trainers():
+    cfg = _cfg()
+    devices = jax.devices()[:2]
+    mesh = make_mesh("env", devices)
+    kw = dict(batch_per_device=4, store_capacity_per_device=512,
+              replay_capacity_per_device=128)
+    init_a, step_a, _ = make_trainer(mesh, "env", cfg, **kw)
+    init_b, step_b, _, run_factory = make_trainer_fast(
+        mesh, "env", cfg, use_pallas=False, **kw)
+    return init_a, step_a, init_b, step_b, run_factory
+
+
+def test_fast_trainer_matches_readable(trainers):
+    init_a, step_a, init_b, step_b, _ = trainers
+    sa = init_a(seed=0)
+    sb = init_b(seed=0)
+
+    # identical initial params and observations (modulo layout)
+    for la, lb in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    np.testing.assert_allclose(
+        np.asarray(sa.obs_ori), np.transpose(np.asarray(sb.obs_ori),
+                                             (0, 2, 1)), rtol=1e-6)
+
+    for step in range(6):
+        key = jax.random.PRNGKey(100 + step)
+        sa, ma = step_a(sa, key)
+        sb, mb = step_b(sb, key)
+        for name in ma._fields:
+            np.testing.assert_allclose(
+                np.asarray(getattr(ma, name)), np.asarray(getattr(mb, name)),
+                rtol=1e-4, atol=1e-5, err_msg=f"step {step} metric {name}")
+
+    # store contents grew identically (same gating -> same records)
+    np.testing.assert_array_equal(np.asarray(sa.store_size),
+                                  np.asarray(sb.store_size))
+    np.testing.assert_allclose(np.asarray(sa.store_values),
+                               np.asarray(sb.store_values),
+                               rtol=1e-5, atol=1e-6)
+    # learner params stayed in lockstep through 6 updates
+    for la, lb in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_fast_trainer_scanned_runner(trainers):
+    _, _, init_b, step_b, run_factory = trainers
+    run3 = run_factory(3)
+    s0 = init_b(seed=1)
+    s_scan, ms = run3(s0, jax.random.PRNGKey(7))
+    assert np.asarray(ms.reward_mean).shape == (3,)
+    # the scanned runner must agree with 3 sequential step_fn calls
+    s_seq = init_b(seed=1)
+    keys = jax.random.split(jax.random.PRNGKey(7), 3)
+    for k in keys:
+        s_seq, m = step_b(s_seq, k)
+    np.testing.assert_allclose(np.asarray(m.reward_mean),
+                               np.asarray(ms.reward_mean)[-1],
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(s_seq.store_size),
+                                  np.asarray(s_scan.store_size))
+
+
+def test_fast_trainer_8dev_mesh():
+    """Full-mesh dryrun: the flagship multi-chip path compiles and runs
+    on all 8 virtual devices."""
+    cfg = _cfg()
+    mesh = make_mesh("env", jax.devices())
+    init_fn, step_fn, _, _ = make_trainer_fast(
+        mesh, "env", cfg, batch_per_device=2,
+        store_capacity_per_device=128, replay_capacity_per_device=64,
+        use_pallas=False)
+    state = init_fn(seed=0)
+    state, metrics = step_fn(state, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics.loss))
+    assert float(metrics.rule_fraction) >= 0.0
