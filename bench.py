@@ -131,10 +131,14 @@ def bench_train_steps(batch: int, steps: int, store_capacity: int,
     state, ms = run_fn(state, jax.random.PRNGKey(0))   # compile + warmup
     jax.block_until_ready(ms.reward_mean)
 
+    # Every timed repeat restarts from the same post-warmup snapshot so
+    # the store fill (which query cost depends on) is identical across
+    # repeats — best-of-N measures one steady state, not the emptiest.
+    snapshot = jax.tree.map(lambda x: x.copy(), state)
     best = float("inf")
     for i in range(repeats):
         t0 = time.perf_counter()
-        state, ms = run_fn(state, jax.random.PRNGKey(1 + i))
+        _, ms = run_fn(snapshot, jax.random.PRNGKey(1 + i))
         jax.block_until_ready(ms.reward_mean)
         best = min(best, time.perf_counter() - t0)
     return batch * steps / best

@@ -790,14 +790,24 @@ def make_collector_fast(sc: Scenario,
 # ---------------------------------------------------------------------------
 
 
-def _lane_major_spec(mesh, axis: str):
+def _lane_major_spec(mesh, axis: str, batch: int | None = None):
     """NamedSharding builder: shard a lane-major pytree on its LAST
-    axis (the env batch) over ``axis``; scalars replicate."""
+    axis (the env batch) over ``axis``; scalars replicate.
+
+    When ``batch`` is given, every non-scalar leaf must have that exact
+    trailing extent — a leaf whose last axis is NOT the env batch (e.g.
+    per-env PRNG keys shaped [B, 2]) would otherwise silently shard the
+    wrong axis or fail mesh divisibility with a confusing error."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     def spec(x):
         if getattr(x, "ndim", 0) == 0:
             return NamedSharding(mesh, P())
+        if batch is not None and x.shape[-1] != batch:
+            raise ValueError(
+                f"lane-major leaf has trailing axis {x.shape[-1]}, expected "
+                f"the env batch {batch}; only batch-last arrays can be "
+                f"sharded by _lane_major_spec (leaf shape {x.shape})")
         return NamedSharding(mesh, P(*([None] * (x.ndim - 1) + [axis])))
 
     return spec
@@ -818,7 +828,7 @@ def shard_rule_driver(init_fn, run_fn, mesh, axis: str = "env"):
 
     def init_sharded(keys):
         carry = init_fn(keys)
-        spec = _lane_major_spec(mesh, axis)
+        spec = _lane_major_spec(mesh, axis, batch=keys.shape[0])
         return _jax.tree.map(lambda x: _jax.device_put(x, spec(x)), carry)
 
     @_jax.jit

@@ -13,11 +13,15 @@ lanes (DESIGN.md §4b), which is ~6x faster than the vmapped batch-first
 path on TPU.  The learner half (Q-network, replay, TD update) stays
 batch-first: those are plain matmuls where layout is already right.
 
-The two trainers are semantically pinned to each other: with
-``EnvConfig.reset_jitter = 0`` and the same PRNG key they split the
-same RNG streams in the same order, so actions, gating draws, store
-contents, and TD batches match step for step
-(``tests/test_train_fast.py`` asserts the equivalence).
+The two trainers are semantically pinned to each other **when
+``EnvConfig.reset_jitter = 0``**: with the same PRNG key they then
+split the same RNG streams in the same order, so actions, gating draws,
+store contents, and TD batches match step for step
+(``tests/test_train_fast.py`` asserts the equivalence).  With nonzero
+jitter (the default 0.1) the two draw env-reset randomness in different
+block orders, so they are distribution-equivalent, not bit-identical —
+``tests/test_train_fast.py`` also asserts the distributional agreement
+of reward/store-growth statistics in that regime.
 
 On TPU the per-candidate confidence query runs through the Pallas
 sorted-band kernel (``ops/pallas_store.py``); per-shard moments still
@@ -80,6 +84,7 @@ def make_trainer_fast(
     replay_capacity_per_device: int = 1 << 14,
     scenario: Optional[Scenario] = None,
     use_pallas: Optional[bool] = None,
+    pallas_interpret: bool = False,
     dtype=jnp.float32,
 ):
     """Build (init_fn, step_fn, learner) for the lane-major integrated
@@ -200,7 +205,8 @@ def make_trainer_fast(
             from dcarl_tpu.ops.pallas_store import box_query_moments_sorted
             moments = box_query_moments_sorted(
                 local_store.keys, local_store.values, valid,
-                flat_q.astype(jnp.float32), half_widths)
+                flat_q.astype(jnp.float32), half_widths,
+                interpret=pallas_interpret)
         else:
             moments = _raw_moments(local_store.keys, local_store.values,
                                    valid, flat_q, half_widths)
