@@ -52,6 +52,37 @@ class StoreConfig:
     trajectory_buffer_len: int = 20
     rule_good_thres: float = -0.1
     num_candidate_actions: int = 8  # action 0 = rule, 1..7 candidates
+    # Exploration-draw support for the train-mode gate: the rule action
+    # is kept when U(explore_low, explore_high) < rule_mean.  The
+    # reference hard-codes U(-1, 0) because its field env emits rewards
+    # in [-1, 0] (gym_routing/envs/cz_dqn.py:88-99 — 0 per step, -1 on
+    # collision); the pair generalizes the same semantics to any reward
+    # scale (the draw spans the per-step reward support).  Defaults are
+    # the reference's.
+    explore_low: float = -1.0
+    explore_high: float = 0.0
+
+
+def driving_store_config(**overrides) -> "StoreConfig":
+    """StoreConfig matched to the native driving env's reward scale.
+
+    The reference gate constants assume per-step rewards in [-1, 0]
+    (see ``explore_low/high`` above).  The native T-intersection env
+    rewards ``sqrt(v) * 0.1`` per step — support ~[0, 0.38] at the
+    11 m/s speed cap — so the same semantics need the draw over that
+    support and a ``rule_good_thres`` near the top of it ("rule
+    near-optimal" = already driving near full speed, the analog of the
+    reference's mean > -0.1 = rarely colliding).
+    """
+    base = dict(
+        explore_low=0.0,
+        explore_high=0.38,
+        rule_good_thres=0.34,
+        visited_times_thres=10,
+        rl_visited_times_min=5,
+    )
+    base.update(overrides)
+    return StoreConfig(**base)
 
 
 @dataclasses.dataclass(frozen=True)

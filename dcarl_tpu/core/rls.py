@@ -123,12 +123,15 @@ def should_use_rule(
     cfg: StoreConfig = StoreConfig(),
 ) -> jax.Array:
     """Batched train-mode gate (RLS.py:100-118): rule under-explored, or
-    rule performing well against a U(-1, 0) exploration draw."""
+    rule performing well against a U(explore_low, explore_high) draw
+    (the reference's U(-1, 0), generalized to the config's reward
+    support — see StoreConfig.explore_low)."""
     rule_count = stats.count[..., 0]
     rule_mean = stats.mean[..., 0]
     under_explored = rule_count < cfg.visited_times_thres
     explore = jax.random.uniform(key, rule_mean.shape,
-                                 minval=-1.0, maxval=0.0)
+                                 minval=cfg.explore_low,
+                                 maxval=cfg.explore_high)
     rule_good = explore < rule_mean
     return under_explored | rule_good
 
