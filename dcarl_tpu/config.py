@@ -61,6 +61,27 @@ class StoreConfig:
     # the reference's.
     explore_low: float = -1.0
     explore_high: float = 0.0
+    # Per-dimension box half-widths of the store query (obs dims + the
+    # action dim last).  None selects the reference's 21-D field table
+    # (core/store.py FIELD_HALF_WIDTHS, from deepq/RLS.py:68).
+    half_widths: "Tuple[float, ...] | None" = None
+
+
+# Box half-widths for the native driving env's 20-D observation layout
+# [ego x, y, vx, vy, yaw] + 3 objects x [x, y, vx, vy, yaw] (ego frame)
+# + action.  The reference's FIELD_HALF_WIDTHS (core/store.py, from
+# deepq/RLS.py:68) belong to its *field* wrap_state layout (lane-frame
+# features) and stay the default for the RLS field path; this table
+# gives the same "nearby state" semantics in the CARLA-style layout:
+# ~2 m position resolution, ~2 m/s velocity resolution, object heading
+# ignored (vehicles follow lanes), exact action match.
+DRIVING_HALF_WIDTHS = (
+    1.0, 2.0, 2.0, 2.0, 0.3,
+    2.0, 2.0, 2.0, 2.0, 10.0,
+    2.0, 2.0, 2.0, 2.0, 10.0,
+    2.0, 2.0, 2.0, 2.0, 10.0,
+    0.1,
+)
 
 
 def driving_store_config(**overrides) -> "StoreConfig":
@@ -80,6 +101,7 @@ def driving_store_config(**overrides) -> "StoreConfig":
         rule_good_thres=0.34,
         visited_times_thres=10,
         rl_visited_times_min=5,
+        half_widths=DRIVING_HALF_WIDTHS,
     )
     base.update(overrides)
     return StoreConfig(**base)
@@ -180,6 +202,12 @@ class EnvConfig:
     reward_stuck: float = 0.0
     max_episode_steps: int = 400
     reset_jitter: float = 0.1     # spawn-pose jitter half-range [m]
+    # Road-departure termination: ending an episode (as a collision —
+    # CARLA's Town03 world walls the route with buildings, so leaving
+    # the road IS hitting the environment) when the ego strays more
+    # than this far from the reference path.  0 disables (the synthetic
+    # plane is open, matching the pre-demo behavior).
+    offroute_dist: float = 0.0
     ego_start: Tuple[float, float, float] = (242.0, 110.0, -1.5707963267948966)
     target_speed: float = 30.0 / 3.6
     wheelbase: float = 3.15

@@ -78,17 +78,50 @@ def store_insert(
     actions: jax.Array,  # [M]
     values: jax.Array,   # [M]
     mask: jax.Array,     # [M] bool — which rows are real
+    policy: str = "ring",
 ) -> ConfidenceStore:
-    """Masked batched append.  The reference's dataset grows without
-    bound (append-only text + R-tree insert, RLS.py:185-215); under
-    fixed shapes we ring-overwrite the oldest rows once full — the
-    checkpointing layer persists the full history off-device."""
+    """Masked batched append with an explicit full-store policy.
+
+    The reference's dataset grows without bound (append-only text +
+    R-tree insert, RLS.py:185-215, reloaded forever at RLS.py:34-76 —
+    that unbounded persistence IS "continuous improvement").  A fixed-
+    shape device store cannot grow, so the capacity contract is split:
+
+    * **on device** — ``policy="ring"`` (default) overwrites the oldest
+      evidence once full (recent data wins; statistics stay fresh);
+      ``policy="reject"`` drops *new* rows once full (the frozen
+      append-only prefix, matching the reference's dataset order).
+      Either way ``size`` saturates at capacity, never silently grows.
+    * **off device** — the full history is preserved by spooling rows
+      out before they can be overwritten:
+      :class:`dcarl_tpu.utils.checkpoint.StoreSpooler` appends each
+      snapshot's new rows to the reference's text format, under the
+      documented requirement that snapshots happen at least once per
+      ``capacity`` inserts.
+
+    ``tests/test_store_rls.py`` fills stores past capacity under both
+    policies (single-device and sharded) and pins these semantics.
+    """
+    if policy not in ("ring", "reject"):
+        raise ValueError(f"unknown store policy {policy!r}")
     capacity = store.keys.shape[0]
     keys = keys.astype(store.keys.dtype)
     actions = actions.astype(store.actions.dtype)
     values = values.astype(store.values.dtype)
+    if policy == "reject":
+        m0 = mask.astype(jnp.int32)
+        offs0 = jnp.cumsum(m0) - m0
+        mask = mask & (store.size + offs0 < capacity)
     m = mask.astype(jnp.int32)
     offsets = jnp.cumsum(m) - m  # position among the valid rows
+    if keys.shape[0] > capacity:
+        # One batch can lap the ring: drop all but the newest `capacity`
+        # valid rows so duplicate slots (whose scatter winner is
+        # unspecified) cannot occur — ring semantics stay "newest wins".
+        n_valid = jnp.sum(m)
+        mask = mask & (offsets >= n_valid - capacity)
+        m = mask.astype(jnp.int32)
+        offsets = jnp.cumsum(m) - m
     slots = (store.head + offsets) % capacity
     # invalid rows write to their own current content (no-op scatter)
     safe_slots = jnp.where(mask, slots, capacity)  # OOB drops in scatter

@@ -184,6 +184,11 @@ def step(
     actor_xy = jnp.concatenate([vehicles[:, :2], walker[None, :2]])
     d2 = jnp.sum((actor_xy - ego[:2]) ** 2, axis=1)
     collided = jnp.any(d2 < cfg.collision_radius ** 2)
+    if cfg.offroute_dist > 0:
+        # Road departure counts as a collision (Town03's buildings wall
+        # the route; an off-road ego hits the environment).
+        d2r = jnp.min(jnp.sum((sa.ref_path[:, :2] - ego[:2]) ** 2, axis=1))
+        collided = collided | (d2r > cfg.offroute_dist ** 2)
 
     passed = ego[1] < cfg.pass_line_y
     slow = v < cfg.stuck_speed

@@ -60,13 +60,14 @@ def sharded_store_init(mesh: Mesh, axis: str, capacity_total: int,
 
 
 def _local_insert(keys_l, actions_l, values_l, size_l, head_l,
-                  rec_keys, rec_actions, rec_values, rec_mask):
+                  rec_keys, rec_actions, rec_values, rec_mask,
+                  policy: str = "ring"):
     """Insert this shard's striped slice of the record batch (runs per
     device under shard_map; leading singleton shard axis)."""
     local = ConfidenceStore(keys_l[0], actions_l[0], values_l[0],
                             size_l[0], head_l[0])
     new = store_insert(local, rec_keys[0], rec_actions[0], rec_values[0],
-                       rec_mask[0])
+                       rec_mask[0], policy=policy)
     return (new.keys[None], new.actions[None], new.values[None],
             new.size[None], new.head[None])
 
@@ -79,9 +80,12 @@ def sharded_insert(
     actions: jax.Array,  # [M]
     values: jax.Array,   # [M]
     mask: jax.Array,     # [M]
+    policy: str = "ring",
 ) -> ShardedStore:
     """Stripe the M records round-robin across shards and append
-    locally.  Records where ``mask`` is False are dropped."""
+    locally, under the same full-store ``policy`` contract as
+    :func:`dcarl_tpu.core.store.store_insert` (each shard applies it to
+    its own capacity).  Records where ``mask`` is False are dropped."""
     s = store.num_shards
     m = keys.shape[0]
     m_pad = -(-m // s) * s
@@ -98,7 +102,7 @@ def sharded_insert(
 
     spec = P(axis)
     f = shard_map(
-        _local_insert, mesh=mesh,
+        partial(_local_insert, policy=policy), mesh=mesh,
         in_specs=(spec, spec, spec, spec, spec, spec, spec, spec, spec),
         out_specs=(spec, spec, spec, spec, spec),
     )

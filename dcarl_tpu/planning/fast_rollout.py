@@ -527,6 +527,12 @@ def _step_env_soa(state: FastEnvState, acc_cmd, steer_cmd, key,
     actor_y = jnp.concatenate([veh[:, 1, :], walker[1][None]])
     d2 = (actor_x - x[None]) ** 2 + (actor_y - y[None]) ** 2
     collided = jnp.any(d2 < dtype(cfg.collision_radius) ** 2, axis=0)
+    if cfg.offroute_dist > 0:
+        # road departure == environment collision (driving_env.step)
+        d2r = jnp.min(
+            (sa.ref_path[:, 0][:, None] - x[None]) ** 2
+            + (sa.ref_path[:, 1][:, None] - y[None]) ** 2, axis=0)
+        collided = collided | (d2r > dtype(cfg.offroute_dist) ** 2)
 
     passed = y < dtype(cfg.pass_line_y)
     slow = v < dtype(cfg.stuck_speed)
@@ -864,7 +870,10 @@ def make_gated_driver_fast(sc: Scenario,
       init_fn(keys[B, 2]) -> carry
       run_fn(carry, step_keys[S, 2], store_keys[N, D+1], store_values[N],
              store_valid[N]) -> (carry, (reward, done, passed, collided,
-                                         executed_action)) each [S, B]
+                                         executed_action, gated_action))
+      each [S, B]; ``gated_action`` is the raw z-test output g (0 =
+      fell back to the rule pick), ``executed_action`` the trajectory
+      index actually followed.
     """
     import jax as _jax
 
@@ -887,9 +896,9 @@ def make_gated_driver_fast(sc: Scenario,
     n_paths = wcfg.num_paths
     num_actions = n_paths + 1
     from dcarl_tpu.core.store import FIELD_HALF_WIDTHS
-    hw = np.asarray(FIELD_HALF_WIDTHS, np.float64)
+    hw = np.asarray(scfg.half_widths or FIELD_HALF_WIDTHS, np.float64)
     if hw.shape[0] != env_cfg.state_dim + 1:
-        raise ValueError("FIELD_HALF_WIDTHS must match state_dim + 1")
+        raise ValueError("store half_widths must match state_dim + 1")
     half_widths = jnp.asarray(hw, dtype)
 
     def one_step(carry, key, store_keys, store_values, store_valid):
@@ -950,7 +959,8 @@ def make_gated_driver_fast(sc: Scenario,
                               traj_x, traj_y, speed_end, npdt)
         state, reward, done = _step_env_soa(state, acc, steer, key, sa,
                                             idx, env_cfg, npdt)
-        return state, (reward, done, state.passed, state.collided, executed)
+        return state, (reward, done, state.passed, state.collided, executed,
+                       g)
 
     @jax.jit
     def init_fn(keys):

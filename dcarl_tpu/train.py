@@ -100,7 +100,8 @@ def make_trainer(
 
     wcfg = cfg.werling
     scfg = cfg.store
-    half_widths = jnp.asarray(ST.FIELD_HALF_WIDTHS, jnp.float32)
+    half_widths = jnp.asarray(scfg.half_widths or ST.FIELD_HALF_WIDTHS,
+                              jnp.float32)
     num_actions = wcfg.num_paths + 1  # brake + lattice candidates
     obs_dim = cfg.env.state_dim
 
@@ -222,7 +223,15 @@ def make_trainer(
             dqn_state._replace(replay=None), obs_ori, k_act)
         env_action = RLS.act_train(stats, rl_action, k_gate, scfg)
 
-        # 5. selected candidate trajectory -> controller -> env tick
+        # 5. selected candidate trajectory -> controller -> env tick.
+        # Gated action 0 = the RULE POLICY'S pick (RLS.act semantics,
+        # RLS.py:84-90 -> the planner's collision-checked choice, which
+        # itself brakes only when no path is free) — the recorded
+        # action stays 0 so the store's action-0 statistics measure the
+        # rule policy, exactly what act_test later compares against.
+        exec_index = jnp.where(env_action == 0, plans.rule_index,
+                               env_action).astype(jnp.int32)
+
         def drive_one(plan, a_idx, o, env_state, k):
             traj = W.trajectory_by_index(plan.lattice, a_idx)
             ego = o[:5]
@@ -235,7 +244,7 @@ def make_trainer(
 
         env_keys = jax.random.split(k_env, b)
         env2, obs, reward, done, obs_ori2 = jax.vmap(drive_one)(
-            plans, env_action,
+            plans, exec_index,
             obs_ori, jax.tree.map(lambda x: x[0], state.env), env_keys)
 
         # 6. trajectory-buffer push -> store records (RLS.add_data)

@@ -102,7 +102,8 @@ def make_trainer_fast(
 
     wcfg = cfg.werling
     scfg = cfg.store
-    half_widths = jnp.asarray(ST.FIELD_HALF_WIDTHS, jnp.float32)
+    half_widths = jnp.asarray(scfg.half_widths or ST.FIELD_HALF_WIDTHS,
+                              jnp.float32)
     num_actions = wcfg.num_paths + 1
     obs_dim = cfg.env.state_dim
     n_obj = (obs_dim - 5) // 5
@@ -188,11 +189,19 @@ def make_trainer_fast(
         ego_x, ego_y = obs[0], obs[1]
         ego_vx, ego_vy, ego_yaw = obs[2], obs[3], obs[4]
 
-        # 1. plan all candidates per env (lane-major lattice)
+        # 1. plan all candidates per env (lane-major lattice) + the
+        # rule policy's collision-checked pick (rule driver semantics)
         s0, d_signed, vd = FR._project_ego(ego_x, ego_y, ego_vx, ego_vy,
                                            tab, npdt)
         c_speed = jnp.sqrt(ego_vx ** 2 + ego_vy ** 2)
         lat = FR._plan_lattice(s0, -d_signed, vd, c_speed, tab, wcfg, npdt)
+        obstacles = obs[5:].reshape(n_obj, 5, -1)
+        obstacles = obstacles.at[:, 4, :].set(0.0)
+        free = FR._collision_free(lat, obstacles, wcfg, npdt)
+        ok = lat.feasible & free
+        masked_cost = jnp.where(ok, lat.cf, jnp.inf)
+        best = jnp.argmin(masked_cost, axis=0).astype(jnp.int32)
+        rule_index = jnp.where(jnp.any(ok, axis=0), best + 1, 0)
 
         # 2. confidence stats: local moments + psum over store shards
         obs_bf = obs.T                      # [B, 20]
@@ -225,15 +234,19 @@ def make_trainer_fast(
         rl_action = learner.act_epsilon_greedy(dqn_state, obs_bf, k_act)
         env_action = RLS.act_train(stats, rl_action, k_gate, scfg)
 
-        # 5. follow the selected candidate (trajectory_by_index: 0=brake)
+        # 5. gated action 0 = the RULE POLICY'S pick (RLS.act,
+        # RLS.py:84-90); the rule itself brakes (index 0) only when no
+        # path is collision-free.  Recorded action stays env_action.
+        exec_index = jnp.where(env_action == 0, rule_index,
+                               env_action).astype(jnp.int32)
         brake_path = jnp.argmin(lat.cf, axis=0).astype(jnp.int32)
-        p_sel = jnp.where(env_action == 0, brake_path, env_action - 1)
+        p_sel = jnp.where(exec_index == 0, brake_path, exec_index - 1)
         oh_p = FR._onehot(p_sel, n_paths).astype(npdt)
         traj_x = jnp.sum(lat.x * oh_p[:, None, :], axis=0)
         traj_y = jnp.sum(lat.y * oh_p[:, None, :], axis=0)
         oh_v = oh_p.reshape(-1, n_v, oh_p.shape[-1]).sum(axis=0)
         speed_end = jnp.sum(lat.s_d_end * oh_v, axis=0)
-        speed_end = jnp.where(env_action == 0, 0.0, speed_end)
+        speed_end = jnp.where(exec_index == 0, 0.0, speed_end)
 
         ego_v = jnp.sqrt(ego_vx ** 2 + ego_vy ** 2)
         acc, steer = FR._control(ego_x, ego_y, ego_yaw, ego_v,

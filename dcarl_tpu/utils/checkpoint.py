@@ -105,6 +105,73 @@ def export_store_text(store, state_path: str, value_path: str) -> None:
             f.write(f"{a:f} {v:f}\n")
 
 
+def ring_delta_slots(old_head: int, new_head: int, n_inserted: int,
+                     capacity: int) -> np.ndarray:
+    """Ring slots written between two snapshots, oldest first.
+
+    Valid only when fewer than ``capacity`` rows were inserted between
+    the snapshots (otherwise some rows were overwritten before they
+    could be observed — the spooler raises in that case)."""
+    if n_inserted > capacity:
+        raise ValueError(
+            f"{n_inserted} inserts since last snapshot exceed capacity "
+            f"{capacity}: rows were lost before spooling; snapshot more "
+            f"often than once per `capacity` inserts")
+    assert (old_head + n_inserted) % capacity == new_head % capacity
+    return (old_head + np.arange(n_inserted)) % capacity
+
+
+class StoreSpooler:
+    """Host-side append-only persistence of a ring store's history.
+
+    The reference store is append-only and persisted forever
+    (visited_state.txt / visited_value.txt, RLS.py:34-76, :185-215);
+    the device store ring-overwrites once full (core/store.py
+    ``store_insert``).  The spooler closes that gap: feed it each
+    periodic store snapshot and it appends exactly the rows written
+    since the previous snapshot to the reference text format, so the
+    on-disk history grows without bound while the device keeps a
+    fixed-shape working set.  Snapshots must happen at least once per
+    ``capacity`` inserts or the spooler raises (data would already have
+    been overwritten).
+    """
+
+    def __init__(self, state_path: str, value_path: str):
+        self.state_path = state_path
+        self.value_path = value_path
+        self._head = 0
+        self._total = 0  # cumulative inserts observed
+
+    def spool(self, store, n_inserted: Optional[int] = None) -> int:
+        """Append rows written since the previous ``spool`` call.
+
+        ``n_inserted`` is the number of inserts since last spool; if
+        omitted it is inferred from the head delta (correct only when
+        < capacity inserts happened, which the caller guarantees by
+        snapshot frequency).  Returns the number of rows appended."""
+        keys = np.asarray(jax.device_get(store.keys))
+        actions = np.asarray(jax.device_get(store.actions))
+        values = np.asarray(jax.device_get(store.values))
+        head = int(jax.device_get(store.head))
+        capacity = keys.shape[0]
+        if n_inserted is None:
+            n_inserted = (head - self._head) % capacity
+        slots = ring_delta_slots(self._head, head, n_inserted, capacity)
+        with open(self.state_path, "a") as f:
+            for row in keys[slots]:
+                f.write(" ".join(f"{x:f}" for x in row) + "\n")
+        with open(self.value_path, "a") as f:
+            for a, v in zip(actions[slots], values[slots]):
+                f.write(f"{a:f} {v:f}\n")
+        self._head = head % capacity
+        self._total += n_inserted
+        return len(slots)
+
+    @property
+    def total_spooled(self) -> int:
+        return self._total
+
+
 def import_store_text(state_path: str, value_path: str, capacity: int):
     """Reload a text-mirrored store (the RLS.py:47-52 load path)."""
     import jax.numpy as jnp

@@ -216,8 +216,9 @@ def test_gated_driver_confidence_activation():
     empty_keys = jnp.zeros((n_rows, d), jnp.float32)
     empty_vals = jnp.zeros((n_rows,), jnp.float32)
     empty_valid = jnp.zeros((n_rows,), bool)
-    _, (r_g, d_g, p_g, c_g, act_g) = run_f(carry, sk, empty_keys, empty_vals,
-                                           empty_valid)
+    _, (r_g, d_g, p_g, c_g, act_g, gate_g) = run_f(
+        carry, sk, empty_keys, empty_vals, empty_valid)
+    assert (np.asarray(gate_g) == 0).all()  # empty store: gate never fires
 
     init_r, run_r = make_rule_driver_fast(sc, cfg, dtype=dtype)
     carry_r = init_r(keys)
@@ -249,7 +250,7 @@ def test_gated_driver_confidence_activation():
     valid_np = np.concatenate([np.ones(len(rows), bool), np.zeros(pad, bool)])
 
     carry2 = init_f(keys)
-    _, (r2, d2, p2, c2, act2) = run_f(carry2, jax.random.split(
+    _, (r2, d2, p2, c2, act2, _gate2) = run_f(carry2, jax.random.split(
         jax.random.PRNGKey(1), 3), jnp.asarray(keys_np),
         jnp.asarray(vals_np), jnp.asarray(valid_np))
     # first step: every env sits at the seeded observation -> candidate 3

@@ -119,6 +119,121 @@ def test_store_ring_overwrite():
     assert vals == [2.0, 3.0, 4.0, 5.0]
 
 
+def test_store_reject_policy_freezes_prefix():
+    """policy='reject': once full, NEW rows are dropped (append-only
+    frozen prefix — the dataset-order contract of RLS.py:185-215 under
+    a finite budget), size saturates at capacity."""
+    d = 3
+    store = S.store_init(4, d)
+    for i in range(7):
+        store = S.store_insert(
+            store,
+            jnp.full((1, d), float(i)),
+            jnp.asarray([float(i)]),
+            jnp.asarray([float(i)]),
+            jnp.ones((1,), bool),
+            policy="reject")
+    assert int(store.size) == 4
+    assert sorted(np.asarray(store.values).tolist()) == [0.0, 1.0, 2.0, 3.0]
+
+    # a straddling batch keeps exactly the rows that fit, in order
+    store2 = S.store_init(4, d)
+    store2 = S.store_insert(store2, jnp.zeros((2, d)), jnp.zeros(2),
+                            jnp.asarray([10.0, 11.0]), jnp.ones(2, bool),
+                            policy="reject")
+    store2 = S.store_insert(store2, jnp.zeros((5, d)), jnp.zeros(5),
+                            jnp.asarray([12.0, 13.0, 14.0, 15.0, 16.0]),
+                            jnp.ones(5, bool), policy="reject")
+    assert int(store2.size) == 4
+    assert np.asarray(store2.values).tolist() == [10.0, 11.0, 12.0, 13.0]
+
+
+def test_store_ring_single_batch_overflow():
+    """A single batch larger than capacity must land the NEWEST rows
+    (defined ring semantics, no duplicate-slot scatter races)."""
+    d = 2
+    store = S.store_init(4, d)
+    vals = jnp.arange(10.0)
+    store = S.store_insert(store, jnp.zeros((10, d)), jnp.zeros(10), vals,
+                           jnp.ones(10, bool))
+    assert int(store.size) == 4
+    assert sorted(np.asarray(store.values).tolist()) == [6.0, 7.0, 8.0, 9.0]
+    # head advanced by the 4 KEPT rows (the dropped ones never landed);
+    # the next insert overwrites the oldest survivor first
+    assert int(store.head) == 0
+
+    # queries keep working against the survivors
+    stats = S.box_query_stats(store, jnp.zeros((1, d)),
+                              jnp.asarray([1.0, 1.0]), use_pallas=False)
+    assert int(stats.count[0]) == 4
+    np.testing.assert_allclose(float(stats.mean[0]), 7.5, atol=1e-5)
+
+
+def test_sharded_store_overflow_policies():
+    """Fill a sharded store past per-shard capacity under both
+    policies; every shard applies the policy to its own ring."""
+    from dcarl_tpu.parallel.mesh import make_mesh
+    from dcarl_tpu.parallel import sharded_store as SS
+
+    mesh = make_mesh("env", jax.devices()[:4])
+    d = 3
+    for policy in ("ring", "reject"):
+        store = SS.sharded_store_init(mesh, "env", capacity_total=16, key_dim=d)
+        n_local = store.keys.shape[1]
+        # 3 waves of 16 records -> 12 per shard into capacity 4
+        for wave in range(3):
+            vals = jnp.arange(16.0) + 100.0 * wave
+            store = SS.sharded_insert(store, mesh, "env",
+                                      jnp.zeros((16, d)), jnp.zeros(16),
+                                      vals, jnp.ones(16, bool), policy=policy)
+        sizes = np.asarray(store.size)
+        assert (sizes == n_local).all(), sizes
+        vals_all = np.sort(np.asarray(store.values).reshape(-1))
+        if policy == "ring":
+            expect = np.sort((np.arange(16.0) + 200.0))  # newest wave
+        else:
+            expect = np.sort(np.arange(16.0))            # oldest wave
+        np.testing.assert_allclose(vals_all, expect)
+
+
+def test_store_spooler_preserves_history_across_wrap():
+    """StoreSpooler + ring store == the reference's unbounded
+    append-only text history (RLS.py:34-76): spooling at least once per
+    `capacity` inserts loses nothing even as the device ring wraps."""
+    import os
+    import tempfile
+
+    from dcarl_tpu.utils.checkpoint import StoreSpooler
+
+    d = 3
+    store = S.store_init(8, d)
+    with tempfile.TemporaryDirectory() as tmp:
+        sp = StoreSpooler(os.path.join(tmp, "visited_state.txt"),
+                          os.path.join(tmp, "visited_value.txt"))
+        all_vals = []
+        for wave in range(6):
+            vals = np.arange(5.0) + 10.0 * wave
+            all_vals.extend(vals.tolist())
+            store = S.store_insert(
+                store, jnp.full((5, d), float(wave)),
+                jnp.zeros(5), jnp.asarray(vals, jnp.float32),
+                jnp.ones(5, bool))
+            appended = sp.spool(store, n_inserted=5)
+            assert appended == 5
+        assert sp.total_spooled == 30
+        hist = np.loadtxt(os.path.join(tmp, "visited_value.txt"), ndmin=2)
+        np.testing.assert_allclose(hist[:, 1], np.asarray(all_vals))
+        states = np.loadtxt(os.path.join(tmp, "visited_state.txt"), ndmin=2)
+        assert states.shape == (30, d)
+
+        # spooling after > capacity inserts must raise, not lose data
+        store2 = S.store_insert(
+            store, jnp.zeros((9, d)), jnp.zeros(9),
+            jnp.arange(9.0), jnp.ones(9, bool))
+        with pytest.raises(ValueError):
+            sp.spool(store2, n_inserted=9)
+
+
 def test_masked_insert_skips_invalid():
     d = 2
     store = S.store_init(8, d)
