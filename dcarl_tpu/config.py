@@ -65,6 +65,18 @@ class StoreConfig:
     # action dim last).  None selects the reference's 21-D field table
     # (core/store.py FIELD_HALF_WIDTHS, from deepq/RLS.py:68).
     half_widths: "Tuple[float, ...] | None" = None
+    # Recorded-value semantics (RLS.add_data, RLS.py:185-215):
+    # "reference" — steady flush records the entry's own instantaneous
+    #   reward; terminal backfill = terminal_reward * gamma^remaining.
+    #   Sound under the reference's [-1, 0] reward convention, where
+    #   instantaneous reward already encodes the only event that
+    #   matters (collision).
+    # "nstep" — every record gets the discounted sum of the window's
+    #   rewards from its entry onward (truncated at episode end): the
+    #   credit signal a dense shaped reward (e.g. the driving env's
+    #   sqrt(v)*0.1) needs so that activation reflects closed-loop
+    #   outcome, not the current speed.
+    value_mode: str = "reference"
 
 
 # Box half-widths for the native driving env's 20-D observation layout
@@ -104,6 +116,17 @@ def driving_store_config(**overrides) -> "StoreConfig":
         half_widths=DRIVING_HALF_WIDTHS,
     )
     base.update(overrides)
+    if base.get("value_mode") == "nstep":
+        # n-step values are discounted sums over the window: rescale
+        # the per-step gate constants by the window's discount mass
+        # sum_{i<W} gamma^i (only where the caller didn't override).
+        w = base.get("n_step_window", StoreConfig.n_step_window)
+        g = base.get("gamma", StoreConfig.gamma)
+        m = (1.0 - g ** w) / (1.0 - g)
+        if "explore_high" not in overrides:
+            base["explore_high"] = 0.38 * m
+        if "rule_good_thres" not in overrides:
+            base["rule_good_thres"] = 0.34 * m
     return StoreConfig(**base)
 
 

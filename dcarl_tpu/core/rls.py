@@ -219,13 +219,27 @@ def traj_buffer_push(
 
     flush_valid = full  # appending onto a full window pops one record
 
-    # Terminal backfill: the newest entry's reward, discounted backwards.
-    terminal_reward = new_reward[length - 1]
-    # entry i (0-based among `length` entries) pops with
-    # len_after = length - 1 - i remaining -> gamma**(length - 1 - i)
     idx = jnp.arange(w)
-    exponent = jnp.maximum(length - 1 - idx, 0).astype(new_reward.dtype)
-    backfill_values = terminal_reward * (cfg.gamma ** exponent)
+    if cfg.value_mode == "nstep":
+        # Discounted window return from each entry onward
+        # (StoreConfig.value_mode): steady flush = popped reward + the
+        # discounted sum over the kept window; backfill entry i =
+        # sum_{j>=i} gamma^(j-i) * r_j up to the episode end.
+        g = jnp.asarray(cfg.gamma, new_reward.dtype)
+        in_ep = (idx < length).astype(new_reward.dtype)
+        flushed_reward = flushed_reward + jnp.sum(
+            (g ** (idx + 1).astype(new_reward.dtype)) * new_reward * in_ep)
+        disc = g ** jnp.maximum(
+            idx[None, :] - idx[:, None], 0).astype(new_reward.dtype)
+        disc = disc * (idx[None, :] >= idx[:, None]) * in_ep[None, :]
+        backfill_values = disc @ new_reward
+    else:
+        # Reference semantics (RLS.py:188-215): terminal backfill =
+        # the newest entry's reward, discounted backwards; entry i
+        # pops with length-1-i remaining -> gamma**(length - 1 - i).
+        terminal_reward = new_reward[length - 1]
+        exponent = jnp.maximum(length - 1 - idx, 0).astype(new_reward.dtype)
+        backfill_values = terminal_reward * (cfg.gamma ** exponent)
     backfill_valid = done & (idx < length)
 
     keys = jnp.concatenate([

@@ -52,10 +52,11 @@ from dcarl_tpu.train_fast import make_trainer_fast
 
 def demo_config(
     conservative_radius: float = 2.5,
-    confidence_thres: float = 0.6,
+    confidence_thres: float = 0.8,
     visited_times_thres: int = 10,
     rl_visited_times_min: int = 5,
     reset_jitter: float = 0.1,
+    value_mode: str = "nstep",
     **store_overrides,
 ) -> DCARLConfig:
     """The improvement-demo configuration.
@@ -75,6 +76,7 @@ def demo_config(
             confidence_thres=confidence_thres,
             visited_times_thres=visited_times_thres,
             rl_visited_times_min=rl_visited_times_min,
+            value_mode=value_mode,
             **store_overrides,
         ),
         dqn=DQNConfig(batch_size=32, replay_capacity=1 << 16),

@@ -120,8 +120,8 @@ def make_trainer_fast(
     repl = NamedSharding(mesh, P())
 
     # ------------------------------------------------------------------
-    def init_fn(seed: int = 0) -> FastTrainState:
-        key = jax.random.PRNGKey(seed)
+    def _init_state(key: jax.Array) -> FastTrainState:
+        """Pure (placement-free) initial state from one PRNG key."""
         k_env, k_net = jax.random.split(key)
         env_keys = jax.random.split(
             k_env, s_shards * batch_per_device
@@ -133,7 +133,7 @@ def make_trainer_fast(
 
         params = net.init(k_net, jnp.zeros((1, obs_dim)))
         w = scfg.n_step_window
-        state = FastTrainState(
+        return FastTrainState(
             env=env,
             obs_ori=obs_ori,
             traj_obs=jnp.zeros((s_shards, batch_per_device, w, obs_dim)),
@@ -154,25 +154,24 @@ def make_trainer_fast(
             opt_state=learner.tx.init(params),
             frame=jnp.zeros((), jnp.int32),
         )
-        place = lambda x: jax.device_put(x, shard)
-        return FastTrainState(
-            env=jax.tree.map(place, state.env),
-            obs_ori=place(state.obs_ori),
-            traj_obs=place(state.traj_obs),
-            traj_act=place(state.traj_act),
-            traj_rew=place(state.traj_rew),
-            traj_len=place(state.traj_len),
-            store_keys=place(state.store_keys),
-            store_actions=place(state.store_actions),
-            store_values=place(state.store_values),
-            store_size=place(state.store_size),
-            store_head=place(state.store_head),
-            replay=jax.tree.map(place, state.replay),
-            params=jax.device_put(state.params, repl),
-            target_params=jax.device_put(state.target_params, repl),
-            opt_state=jax.device_put(state.opt_state, repl),
-            frame=jax.device_put(state.frame, repl),
-        )
+
+    # Placement via jit out_shardings (a pytree prefix: dict-valued
+    # learner fields take one replicated sharding each) — the idiomatic
+    # form on a multi-host mesh, where plain device_put cannot address
+    # other hosts' devices; identical result single-host.
+    out_sh = FastTrainState(
+        env=jax.tree.map(lambda _: shard, FR.FastEnvState(*[0] * 11)),
+        obs_ori=shard,
+        traj_obs=shard, traj_act=shard, traj_rew=shard, traj_len=shard,
+        store_keys=shard, store_actions=shard, store_values=shard,
+        store_size=shard, store_head=shard,
+        replay=jax.tree.map(lambda _: shard, RB.Replay(*[0] * 8)),
+        params=repl, target_params=repl, opt_state=repl, frame=repl,
+    )
+    _init_jit = jax.jit(_init_state, out_shardings=out_sh)
+
+    def init_fn(seed: int = 0) -> FastTrainState:
+        return _init_jit(jax.random.PRNGKey(seed))
 
     # ------------------------------------------------------------------
     def _shard_step(state: FastTrainState, key: jax.Array

@@ -352,6 +352,52 @@ def test_trajectory_buffer_matches_deque_oracle():
         np.testing.assert_allclose(gv, ov, atol=1e-5)
 
 
+def test_trajectory_buffer_nstep_mode():
+    """value_mode='nstep': every record carries the discounted window
+    return from its entry onward, truncated at episode end."""
+    rng = np.random.default_rng(7)
+    cfg = StoreConfig(value_mode="nstep")
+    obs_dim = 3
+    buf = R.traj_buffer_init(cfg.n_step_window, obs_dim)
+
+    episode = []  # (obs, action, reward) of the running episode
+    got = []
+    expect = []
+
+    def discounted(rews, i):
+        return sum(cfg.gamma ** (j - i) * rews[j] for j in range(i, len(rews)))
+
+    for step in range(40):
+        obs = rng.normal(0, 1, obs_dim).astype(np.float32)
+        action = float(rng.integers(0, 8))
+        rew = float(rng.normal(0, 1))
+        done = step in (17, 33)
+        episode.append((obs, action, rew))
+
+        buf, recs = R.traj_buffer_push(
+            buf, jnp.asarray(obs), jnp.asarray(action), jnp.asarray(rew),
+            jnp.asarray(done), cfg)
+        valid = np.asarray(recs.valid)
+        for i in np.where(valid)[0]:
+            got.append(float(recs.values[i]))
+
+        # oracle: a flush happens when the episode's live window exceeds
+        # n_step_window; its value is the W+1-step discounted return
+        live = episode
+        while len(live) > cfg.n_step_window:
+            rews = [r for (_, _, r) in live]
+            expect.append(discounted(rews[:cfg.n_step_window + 1], 0))
+            live = live[1:]
+            episode = live
+        if done:
+            rews = [r for (_, _, r) in live]
+            for i in range(len(live)):
+                expect.append(discounted(rews, i))
+            episode = []
+
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-5)
+
+
 def test_insert_records_roundtrip():
     cfg = StoreConfig()
     store = S.store_init(256, 5)
