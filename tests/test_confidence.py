@@ -81,6 +81,17 @@ def test_simulation1_golden():
 
 @pytest.mark.skipif(not datasets.reference_available(),
                     reason="reference datasets not mounted")
+def test_simulation2_golden_truncated():
+    """Default-on Sim-2 golden: the first 5k samples of the bundled
+    stream, bit-compared against the oracle (the full 20k-stream run is
+    the --expensive variant below)."""
+    ds = datasets.load_sim2()
+    data = ds.data[:5000]
+    _check_against_oracle(data, ds.action_values, ds.action_num)
+
+
+@pytest.mark.skipif(not datasets.reference_available(),
+                    reason="reference datasets not mounted")
 @pytest.mark.expensive
 def test_simulation2_golden():
     ds = datasets.load_sim2()
@@ -100,7 +111,10 @@ def test_simulation1_known_activation():
     table, out = _run_golden(data, ds.action_values, ds.action_num, cap)
     oracle = oracle_run(data, ds.action_values, ds.action_num)
     assert table.activation_step[0] == oracle["activation_step"][0]
-    assert table.activation_step[0] > 0  # activation does occur in the demo
+    # The literal step, independently verified against the REAL
+    # reference script (Simulation_1/test_DCARL.py run headless) — a
+    # bug shared by oracle and implementation cannot fake this.
+    assert int(table.activation_step[0]) == 4438
 
 
 def test_running_table_decisions_match_golden():
