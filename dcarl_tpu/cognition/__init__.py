@@ -9,7 +9,10 @@ construction is a pure batched function over [K] tracked objects x
 """
 
 from dcarl_tpu.cognition.locator import (StaticLocalMap, TrackedObjects,
-                                         EgoPose, MapModel, locate_objects_in_lane,
+                                         EgoPose, MapModel, LightSignal,
+                                         StopState, TrafficLightDetection,
+                                         locate_objects_in_lane,
+                                         locate_traffic_lights_in_lanes,
                                          update_map_state)
 from dcarl_tpu.cognition.path_buffer import PathBufferState, path_buffer_init, path_buffer_update
 from dcarl_tpu.cognition.drivable import dynamic_boundary

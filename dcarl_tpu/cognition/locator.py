@@ -39,6 +39,78 @@ class Behavior(IntEnum):
     MOVING_RIGHT = 2
 
 
+class LightSignal(IntEnum):
+    """ObjectSignals traffic-light enum (perception msg subset)."""
+
+    UNKNOWN = 0
+    RED = 1
+    YELLOW = 2
+    GREEN = 3
+
+
+class StopState(IntEnum):
+    """Lane.msg stop_state enum (navigation/protocol/msg/Lane.msg:20-26)."""
+
+    UNKNOWN = 0
+    THRU = 1
+    YIELD = 2
+    STOP = 3
+
+
+class TrafficLightDetection(NamedTuple):
+    """Fixed-M traffic-light detection table (the constructor's
+    ``_traffic_light_detection_buffer``, driving_space_constructor.py:
+    77-80)."""
+
+    signal: jax.Array  # [M] LightSignal
+    valid: jax.Array   # [M] bool
+
+
+def locate_traffic_lights_in_lanes(
+    lights: TrafficLightDetection, num_lanes: int,
+) -> jax.Array:
+    """[L] per-lane StopState from light detections
+    (locate_traffic_light_in_lanes, driving_space_constructor.py:
+    1179-1213), branchless:
+
+    * one detection        -> its state applies to every lane,
+    * exactly L detections -> light i states lane i,
+    * any other count > 1  -> all lanes STOP unless any light is green,
+    * zero detections      -> UNKNOWN (caller falls back to the map's
+      stop_state, like the reference's early return).
+    """
+    sig = jnp.where(lights.valid, lights.signal, LightSignal.UNKNOWN.value)
+    m = jnp.sum(lights.valid.astype(jnp.int32))
+
+    def to_state(s):
+        return jnp.select(
+            [s == LightSignal.RED.value,
+             s == LightSignal.YELLOW.value,
+             s == LightSignal.GREEN.value],
+            [StopState.STOP.value, StopState.YIELD.value,
+             StopState.THRU.value],
+            StopState.UNKNOWN.value).astype(jnp.int32)
+
+    # valid signals compacted to the front (lane i <- i-th valid light)
+    order = jnp.argsort(~lights.valid)  # stable: valid first, in order
+    sig_c = jnp.take(sig, order)
+    l_idx = jnp.arange(num_lanes)
+    per_lane = to_state(sig_c[jnp.minimum(l_idx, sig_c.shape[0] - 1)])
+    first = to_state(sig_c[0])
+
+    any_green = jnp.any((sig == LightSignal.GREEN.value) & lights.valid)
+    mismatched = jnp.where(any_green, StopState.THRU.value,
+                           StopState.STOP.value).astype(jnp.int32)
+
+    out = jnp.select(
+        [m == 0, m == 1, m == num_lanes],
+        [jnp.full((num_lanes,), StopState.UNKNOWN.value, jnp.int32),
+         jnp.full((num_lanes,), 1, jnp.int32) * first,
+         per_lane],
+        jnp.full((num_lanes,), 1, jnp.int32) * mismatched)
+    return out
+
+
 class StaticLocalMap(NamedTuple):
     """The windowed static map (navigation's Map msg): L lanes sampled
     to a common point count N, outermost lane first (reference lane
@@ -125,6 +197,7 @@ def update_map_state(
     smap: StaticLocalMap,
     ego: EgoPose,
     objects: TrackedObjects,
+    lights: "TrafficLightDetection | None" = None,
     lane_end_dist_thres: float = 15.0,
     lane_head_thres: float = 3.0,
     lane_dist_thres: float = 5.0,
@@ -134,13 +207,21 @@ def update_map_state(
 ) -> Tuple[MultiLaneState, jax.Array, jax.Array]:
     """The NearestLocator.update tick (obstacle_locator.py:68-136 +
     locate_ego_vehicle_in_lanes:189-229 +
-    locate_surrounding_objects_in_lanes:231-305).
+    locate_surrounding_objects_in_lanes:231-305 + the
+    DrivingSpaceConstructor's light ingestion,
+    driving_space_constructor.py:84-142, 1179-1213).
 
     Returns (mmap, model, behaviors[K]):
       * ``mmap``  — the MultiLaneState the planners consume,
       * ``model`` — MapModel.JUNCTION when the ego is off-lane / at a
         lane head / close to a THRU lane end (the junction hand-off),
       * ``behaviors`` — per-object Behavior enum.
+
+    ``lights`` feeds per-lane stop states: a RED/YELLOW lane reports
+    ``traffic_light_stop`` with ``stop_distance`` = the ego's distance
+    to that lane's end (the stop line sits at the lane end, where the
+    reference's NativeMap loops terminate at junctions) — consumed by
+    :func:`dcarl_tpu.planning.idm.traffic_light_speed`.
     """
     L = smap.num_lanes
     lanes_f = jnp.arange(L, dtype=jnp.float32)
@@ -229,6 +310,17 @@ def update_map_state(
         lambda oyaw, ox, oy: predict_vehicle_behavior(oyaw, ox, oy, smap)
     )(objects.yaw, objects.x, objects.y)
 
+    # --- traffic lights -> per-lane stop states + stop-line distance
+    if lights is None:
+        stop_state = jnp.full((L,), StopState.UNKNOWN.value, jnp.int32)
+    else:
+        stop_state = locate_traffic_lights_in_lanes(lights, L)
+    # UNKNOWN (no detections) means no standing red — the reference's
+    # early return leaves the map's default; the stop line sits at the
+    # lane end.
+    light_stop = (stop_state == StopState.STOP.value) \
+        | (stop_state == StopState.YIELD.value)
+
     mmap = MultiLaneState(
         ego_lane_index=ego_lane_index,
         ego_speed=ego_speed,
@@ -238,7 +330,7 @@ def update_map_state(
         speed_limit=smap.speed_limit,
         distance_to_junction=ego_tail[ego_rounded],
         target_lane_index=smap.target_lane_index.astype(jnp.float32),
-        traffic_light_stop=jnp.zeros((L,), bool),
-        stop_distance=jnp.full((L,), 1e6),
+        traffic_light_stop=light_stop,
+        stop_distance=jnp.where(light_stop, ego_tail, 1e6),
     )
     return mmap, model, behaviors

@@ -77,6 +77,12 @@ class StoreConfig:
     #   sqrt(v)*0.1) needs so that activation reflects closed-loop
     #   outcome, not the current speed.
     value_mode: str = "reference"
+    # Among candidates passing the z-test: "first" returns the lowest
+    # index (the reference's ascending-loop return, RLS.py:139-154 —
+    # meaningful in ITS semantically-ordered action space); "best"
+    # returns the highest z (the strongest evidence — the right choice
+    # when candidate indices are an arbitrary lattice enumeration).
+    select_mode: str = "first"
 
 
 # Box half-widths for the native driving env's 20-D observation layout

@@ -113,8 +113,14 @@ def act_test(
     passes = passes.at[..., 0].set(False)  # action 0 is the fallback
 
     any_pass = jnp.any(passes, axis=-1)
-    first = jnp.argmax(passes, axis=-1).astype(jnp.int32)
-    return jnp.where(any_pass, first, 0)
+    if cfg.select_mode == "best":
+        # strongest evidence wins (StoreConfig.select_mode)
+        pick = jnp.argmax(jnp.where(passes, z, -jnp.inf),
+                          axis=-1).astype(jnp.int32)
+    else:
+        # reference semantics: lowest-indexed passing candidate
+        pick = jnp.argmax(passes, axis=-1).astype(jnp.int32)
+    return jnp.where(any_pass, pick, 0)
 
 
 def should_use_rule(

@@ -57,6 +57,7 @@ def demo_config(
     rl_visited_times_min: int = 5,
     reset_jitter: float = 0.1,
     value_mode: str = "nstep",
+    select_mode: str = "best",
     **store_overrides,
 ) -> DCARLConfig:
     """The improvement-demo configuration.
@@ -77,6 +78,7 @@ def demo_config(
             visited_times_thres=visited_times_thres,
             rl_visited_times_min=rl_visited_times_min,
             value_mode=value_mode,
+            select_mode=select_mode,
             **store_overrides,
         ),
         dqn=DQNConfig(batch_size=32, replay_capacity=1 << 16),
@@ -177,13 +179,15 @@ def evaluate_gated(
 
     episodes = int(done.sum())
     denom = max(episodes, 1)
-    total_reward = float(reward.sum())
+    kilosteps = reward.size / 1000.0
     return {
+        # reward per env-step: the fleet's time-normalized reward rate —
+        # the primary comparison (a faster fleet completes MORE, shorter
+        # episodes, so per-episode return would penalize speed)
         "mean_step_reward": float(reward.mean()),
         "episodes": episodes,
-        # reward accrued per completed episode; with auto-reset and many
-        # episodes per env this converges to the true mean return
-        "mean_episode_return": total_reward / denom,
+        "passes_per_kstep": float(passed.sum()) / kilosteps,
+        "collisions_per_kstep": float(collided.sum()) / kilosteps,
         "pass_rate": float(passed.sum()) / denom,
         "collision_rate": float(collided.sum()) / denom,
         "activation_fraction": float((gate != 0).mean()),
@@ -236,12 +240,16 @@ def run_improvement(
         "eval_rule": rule,
         "eval_gated": gated,
         "improvement": {
-            "return_delta": gated["mean_episode_return"]
-            - rule["mean_episode_return"],
-            "return_ratio": gated["mean_episode_return"]
-            / rule["mean_episode_return"]
-            if rule["mean_episode_return"] else float("inf"),
-            "pass_rate_delta": gated["pass_rate"] - rule["pass_rate"],
+            "reward_rate_ratio": gated["mean_step_reward"]
+            / rule["mean_step_reward"]
+            if rule["mean_step_reward"] else float("inf"),
+            "reward_rate_delta": gated["mean_step_reward"]
+            - rule["mean_step_reward"],
+            "pass_throughput_ratio": gated["passes_per_kstep"]
+            / rule["passes_per_kstep"]
+            if rule["passes_per_kstep"] else float("inf"),
+            "collision_delta_per_kstep": gated["collisions_per_kstep"]
+            - rule["collisions_per_kstep"],
             "activation_fraction": gated["activation_fraction"],
         },
     }

@@ -183,3 +183,84 @@ def test_dynamic_boundary_obstacle_shadows_static():
     north = 96
     assert float(b.dist[north]) == pytest.approx(20.0, abs=0.5)
     assert float(b.vx[north]) == 0.0
+
+
+def test_traffic_light_red_stops_lane_stack():
+    """A RED light detection must flow cognition -> MultiLaneState ->
+    IDM and stop the target lane (the path the reference wires through
+    driving_space_constructor.py:1179-1213 + longitudinal.py:102-113);
+    GREEN must leave the lane speed untouched."""
+    from dcarl_tpu.cognition.locator import (LightSignal,
+                                             TrafficLightDetection)
+    from dcarl_tpu.planning.idm import longitudinal_speed
+
+    smap = straight_map()
+    # ego mid-lane 0 driving toward the lane end, ~90 m in (10 m to go)
+    ego = EgoPose(x=jnp.asarray(90.0), y=jnp.asarray(0.0),
+                  vx=jnp.asarray(8.0), vy=jnp.asarray(0.0),
+                  yaw=jnp.asarray(0.0))
+
+    def lights(sig):
+        return TrafficLightDetection(
+            signal=jnp.asarray([sig, 0, 0, 0], jnp.int32),
+            valid=jnp.asarray([True, False, False, False]))
+
+    mmap_red, _, _ = update_map_state(smap, ego, no_objects(),
+                                      lights=lights(LightSignal.RED.value))
+    assert bool(mmap_red.traffic_light_stop.all())  # 1 light -> all lanes
+    np.testing.assert_allclose(np.asarray(mmap_red.stop_distance),
+                               10.0, atol=0.5)
+    v_red = longitudinal_speed(mmap_red, jnp.asarray(0),
+                               traffic_light=True)
+    assert float(v_red) == 0.0  # stop line inside the braking envelope
+
+    mmap_green, _, _ = update_map_state(
+        smap, ego, no_objects(), lights=lights(LightSignal.GREEN.value))
+    assert not bool(mmap_green.traffic_light_stop.any())
+    v_green = longitudinal_speed(mmap_green, jnp.asarray(0),
+                                 traffic_light=True)
+    assert float(v_green) > 5.0
+
+    # no detections -> no standing red (reference early-return)
+    mmap_none, _, _ = update_map_state(smap, ego, no_objects())
+    assert not bool(mmap_none.traffic_light_stop.any())
+
+
+def test_traffic_light_per_lane_and_mismatch_cases():
+    """The three reference cases of locate_traffic_light_in_lanes:
+    per-lane mapping when counts match, all-red unless any green when
+    they don't."""
+    from dcarl_tpu.cognition.locator import (LightSignal, StopState,
+                                             TrafficLightDetection,
+                                             locate_traffic_lights_in_lanes)
+
+    R, Y, G = (LightSignal.RED.value, LightSignal.YELLOW.value,
+               LightSignal.GREEN.value)
+
+    # exactly L=2 lights -> light i states lane i
+    det = TrafficLightDetection(
+        signal=jnp.asarray([R, G, 0, 0], jnp.int32),
+        valid=jnp.asarray([True, True, False, False]))
+    st = np.asarray(locate_traffic_lights_in_lanes(det, 2))
+    assert st.tolist() == [StopState.STOP.value, StopState.THRU.value]
+
+    # yellow -> YIELD
+    det_y = TrafficLightDetection(
+        signal=jnp.asarray([Y, 0, 0, 0], jnp.int32),
+        valid=jnp.asarray([True, False, False, False]))
+    st_y = np.asarray(locate_traffic_lights_in_lanes(det_y, 2))
+    assert st_y.tolist() == [StopState.YIELD.value] * 2
+
+    # 3 lights over 2 lanes, none green -> all STOP
+    det3 = TrafficLightDetection(
+        signal=jnp.asarray([R, R, Y, 0], jnp.int32),
+        valid=jnp.asarray([True, True, True, False]))
+    st3 = np.asarray(locate_traffic_lights_in_lanes(det3, 2))
+    assert st3.tolist() == [StopState.STOP.value] * 2
+
+    # 3 lights over 2 lanes, one green -> all THRU
+    det3g = TrafficLightDetection(
+        signal=jnp.asarray([R, G, R, 0], jnp.int32),
+        valid=jnp.asarray([True, True, True, False]))
+    st3g = np.asarray(locate_traffic_lights_in_lanes(det3g, 2))
+    assert st3g.tolist() == [StopState.THRU.value] * 2
