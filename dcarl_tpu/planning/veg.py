@@ -42,6 +42,54 @@ ACTION_LIMIT = 2333.0              # out-of-range sentinel (:235)
 VEG_STATE_DIM = 16
 
 
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class VEGConfig:
+    """Variant switch between the two reference VEG stacks.
+
+    ``variant="veg"`` is VEG/VEG_planner.py (defaults above);
+    ``variant="itsc"`` is VEG_ITSC/VEG_planner.py + Werling_trajectory
+    .py — the ITSC-paper build, whose behavioral deltas are:
+
+    * Q-advantage gate threshold 5.0, not 0.2
+      (VEG_ITSC/VEG_planner.py:88, :148 ``q_value - rule_q > threshold``)
+    * +12.5/3.6 m/s speed bias added to the received RL speed action
+      before planning (:149)
+    * emergency stop below 3/3.6 m/s, not 0.5 (Werling_trajectory
+      .py:188-189)
+    * the executed trajectory is TWO chained Werling segments: the RL
+      kick segment, then a rule-optimal continuation planned from its
+      end state (trajectory_update_withRL_second,
+      Werling_trajectory.py:172-240)
+    * the longitudinal start is biased one second ahead
+      (``s0 = ffstate.s + c_speed * 1.0``, :202/:219)
+    * the rule point is sampled at delta_T = 0.75 s of its finer 0.15 s
+      grid (index 15 ~ 2.25 s; VEG_ITSC/VEG_planner.py:114-115, :246-252)
+    """
+
+    variant: str = "veg"
+    threshold: float = THRESHOLD
+    speed_bias: float = 0.0
+    min_speed_rl: float = MIN_SPEED_RL
+    second_segment: bool = False
+    s0_lookahead_s: float = 0.0
+    kick_in_point: int = KICK_IN_POINT
+
+
+def itsc_config() -> VEGConfig:
+    return VEGConfig(
+        variant="itsc",
+        threshold=5.0,
+        speed_bias=12.5 / 3.6,
+        min_speed_rl=3.0 / 3.6,
+        second_segment=True,
+        s0_lookahead_s=1.0,
+        kick_in_point=KICK_IN_POINT,  # same ~2.1-2.25 s on our 0.3 s grid
+    )
+
+
 class VEGState(NamedTuple):
     """What the agent sees per tick (wrap_state): 16-D state +
     [collision, leave_mmap, threshold] + the rule point."""
@@ -100,7 +148,7 @@ def plan_rl_kick(rp: spl.RefPath, start: W.FrenetStart,
     (frenet_optimal_planning_withRL, Werling_planner_RL.py:162-210):
     lateral quintic start -> d_target, longitudinal quartic start speed
     -> v_target over one horizon.  Returns (xy[T, 2], speed[T],
-    feasible)."""
+    feasible, end_state)."""
     Ti = cfg.horizons[0]
     n_t = cfg.n_time_steps
     dtype = jnp.result_type(start.s0)
@@ -124,7 +172,9 @@ def plan_rl_kick(rp: spl.RefPath, start: W.FrenetStart,
 
     feasible = (~jnp.any(s_d > cfg.max_speed)
                 & ~jnp.any(jnp.abs(s_dd) > cfg.max_accel))
-    return jnp.stack([x, y], axis=1), s_d, feasible
+    end = W.FrenetStart(s0=s[-1], c_d=d[-1], c_d_d=0.0, c_d_dd=0.0,
+                        c_speed=s_d[-1])
+    return jnp.stack([x, y], axis=1), s_d, feasible, end
 
 
 class VEGPlan(NamedTuple):
@@ -145,29 +195,61 @@ def plan_veg(
     rl_q: jax.Array,
     rule_q: jax.Array,
     cfg: WerlingConfig = WerlingConfig(),
+    vcfg: VEGConfig = VEGConfig(),
 ) -> VEGPlan:
     """One VEG planning tick (trajectory_update :111-139 +
-    generate_VEG_trajectory :224-240): kick in the RL trajectory iff
-    its Q beats the rule Q by THRESHOLD, the action is in range, and
-    the target speed clears the emergency-stop floor."""
+    generate_VEG_trajectory :224-240; ITSC variant per
+    :class:`VEGConfig`): kick in the RL trajectory iff its Q beats the
+    rule Q by the variant threshold, the action is in range, and the
+    target speed clears the emergency-stop floor.  For the ITSC
+    variant the kicked trajectory is the two-segment chain of
+    trajectory_update_withRL_second."""
     out = W.plan_with_rule(rp, ref_line, ego, obstacles, obstacles_valid,
                            cfg)
     rule_traj = W.trajectory_by_index(out.lattice, out.rule_index)
 
     start = W.start_state_from_ego(ego[0], ego[1], ego[2], ego[3], ego[4],
                                    ref_line)
-    rl_xy, rl_speed, rl_feasible = plan_rl_kick(
-        rp, start, rl_action[0], rl_action[1], cfg)
+    if vcfg.s0_lookahead_s:
+        # ITSC longitudinal bias: s0 = ffstate.s + c_speed * 1.0
+        # (Werling_trajectory.py:202/:219)
+        start = start._replace(
+            s0=start.s0 + start.c_speed * vcfg.s0_lookahead_s)
+    v_cmd = rl_action[1] + vcfg.speed_bias
+    rl_xy, rl_speed, rl_feasible, rl_end = plan_rl_kick(
+        rp, start, rl_action[0], v_cmd, cfg)
+
+    if vcfg.second_segment:
+        # ITSC continuation: a rule-optimal (obstacle-free, cost-min)
+        # segment planned from the kick segment's end state and chained
+        # after it (trajectory_update_withRL_second's second
+        # frenet_optimal_planning with ob=[]).
+        lat2 = W.plan(rp, rl_end, cfg)
+        cost2 = jnp.where(lat2.feasible, lat2.cf, jnp.inf)
+        p2 = jnp.argmin(cost2)
+        lat2_xy = jnp.stack([lat2.x[p2], lat2.y[p2]], axis=1)
+        lat2_speed = lat2.s_d[p2]
+        rl_xy = jnp.concatenate([rl_xy, lat2_xy], axis=0)
+        rl_speed = jnp.concatenate([rl_speed, lat2_speed])
+        rule_xy = jnp.concatenate([rule_traj.xy, rule_traj.xy[-1:]
+                                   .repeat(lat2_xy.shape[0], axis=0)])
+        rule_speed = jnp.concatenate([
+            rule_traj.desired_speed,
+            rule_traj.desired_speed[-1:].repeat(lat2_speed.shape[0])])
+    else:
+        rule_xy = rule_traj.xy
+        rule_speed = rule_traj.desired_speed
 
     in_range = jnp.all(jnp.abs(rl_action) < ACTION_LIMIT)
-    not_stopping = rl_action[1] >= MIN_SPEED_RL
-    kick = ((rl_q - rule_q) > THRESHOLD) & in_range & rl_feasible
+    not_stopping = v_cmd >= vcfg.min_speed_rl
+    kick = ((rl_q - rule_q) > vcfg.threshold) & in_range & rl_feasible
 
     # emergency stop: RL commands near-zero speed -> rule path, speed 0
-    # (trajectory_update_RL_kick :125-135)
-    xy = jnp.where(kick, rl_xy, rule_traj.xy)
+    # (trajectory_update_RL_kick :125-135; ITSC floor 3/3.6,
+    # Werling_trajectory.py:188-189)
+    xy = jnp.where(kick, rl_xy, rule_xy)
     speed = jnp.where(kick & not_stopping, rl_speed,
                       jnp.where(kick, jnp.zeros_like(rl_speed),
-                                rule_traj.desired_speed))
+                                rule_speed))
     return VEGPlan(xy=xy, desired_speed=speed,
                    kicked_in=kick, rule_index=out.rule_index)

@@ -78,7 +78,7 @@ def test_rl_trajectory_reaches_targets(setup):
                                    ref_line)
     cfg = WerlingConfig()
     d_t, v_t = jnp.asarray(1.5, jnp.float64), jnp.asarray(6.0, jnp.float64)
-    xy, speed, feasible = veg.plan_rl_kick(rp, start, d_t, v_t, cfg)
+    xy, speed, feasible, _end = veg.plan_rl_kick(rp, start, d_t, v_t, cfg)
     assert bool(feasible)
     # speed approaches the commanded terminal speed along the horizon
     assert float(speed[-1]) == pytest.approx(
@@ -97,3 +97,65 @@ def test_rule_fallback_matches_rule_trajectory(setup):
                                np.asarray(rule_traj.xy))
     np.testing.assert_allclose(np.asarray(plan.desired_speed),
                                np.asarray(rule_traj.desired_speed))
+
+
+def test_itsc_variant_threshold_and_bias(setup):
+    """VEG_ITSC deltas (VEG_ITSC/VEG_planner.py:88,148-149): the gate
+    needs a Q-advantage > 5.0 (not 0.2), and the kicked speed target is
+    the RL action plus 12.5/3.6 m/s."""
+    rp, ref_line, ego, obstacles, valid = setup
+    icfg = veg.itsc_config()
+    act = jnp.asarray([0.0, 3.0], jnp.float64)
+
+    # advantage 1.0 kicks the base variant but NOT itsc
+    plan_base = veg.plan_veg(rp, ref_line, ego, obstacles, valid, act,
+                             rl_q=jnp.asarray(1.0), rule_q=jnp.asarray(0.0))
+    plan_itsc = veg.plan_veg(rp, ref_line, ego, obstacles, valid, act,
+                             rl_q=jnp.asarray(1.0), rule_q=jnp.asarray(0.0),
+                             vcfg=icfg)
+    assert bool(plan_base.kicked_in)
+    assert not bool(plan_itsc.kicked_in)
+
+    # advantage 6.0 kicks itsc; terminal speed tracks act + 12.5/3.6
+    plan_itsc2 = veg.plan_veg(rp, ref_line, ego, obstacles, valid, act,
+                              rl_q=jnp.asarray(6.0), rule_q=jnp.asarray(0.0),
+                              vcfg=icfg)
+    assert bool(plan_itsc2.kicked_in)
+    cfg = WerlingConfig()
+    v_cmd = 3.0 + 12.5 / 3.6
+    kick_end_speed = float(plan_itsc2.desired_speed[cfg.n_time_steps - 1])
+    assert kick_end_speed == pytest.approx(v_cmd, abs=0.5 + v_cmd * cfg.dt)
+
+
+def test_itsc_two_segment_chain(setup):
+    """The ITSC kicked trajectory chains a rule-optimal continuation
+    after the RL segment (trajectory_update_withRL_second) — twice the
+    time steps, continuous at the seam."""
+    rp, ref_line, ego, obstacles, valid = setup
+    icfg = veg.itsc_config()
+    cfg = WerlingConfig()
+    act = jnp.asarray([0.0, 5.0], jnp.float64)
+    plan = veg.plan_veg(rp, ref_line, ego, obstacles, valid, act,
+                        rl_q=jnp.asarray(10.0), rule_q=jnp.asarray(0.0),
+                        vcfg=icfg)
+    assert bool(plan.kicked_in)
+    T = cfg.n_time_steps
+    assert plan.xy.shape == (2 * T, 2)
+    seam = np.linalg.norm(np.asarray(plan.xy[T]) - np.asarray(plan.xy[T - 1]))
+    # seam gap bounded by one step of travel at the commanded speed
+    assert seam < (5.0 + 12.5 / 3.6) * cfg.dt * 3.0
+
+
+def test_itsc_emergency_stop_floor(setup):
+    """ITSC emergency stop: commanded speed below 3/3.6 (after bias the
+    commanded v_cmd) -> speed profile 0 on the kicked path
+    (Werling_trajectory.py:188-189)."""
+    rp, ref_line, ego, obstacles, valid = setup
+    icfg = veg.itsc_config()
+    # v_cmd = act + bias < 3/3.6 requires act < 3/3.6 - 12.5/3.6 < 0
+    act = jnp.asarray([0.0, -3.0], jnp.float64)
+    plan = veg.plan_veg(rp, ref_line, ego, obstacles, valid, act,
+                        rl_q=jnp.asarray(10.0), rule_q=jnp.asarray(0.0),
+                        vcfg=icfg)
+    assert bool(plan.kicked_in)
+    np.testing.assert_allclose(np.asarray(plan.desired_speed), 0.0)
