@@ -82,6 +82,15 @@ def bench_confidence_evals(n_rows: int, n_queries: int, repeats: int = 5):
     w = jnp.asarray(FIELD_HALF_WIDTHS, jnp.float32)
 
     on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        # Real-hardware numeric parity of the Pallas kernel against the
+        # XLA reduction (the suite's interpret-mode parity can't cover
+        # Mosaic codegen): a subset of queries keeps the raw path cheap.
+        q_sub = queries[:512]
+        got = np.asarray(box_query_moments_sorted(keys, values, valid,
+                                                  q_sub, w))
+        ref = np.asarray(_raw_moments(keys, values, valid, q_sub, w))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-3)
     fn = box_query_moments_sorted if on_tpu else _raw_moments
     # The remote-tunnel dispatch floor is ~25 ms per executable launch;
     # chain enough kernel calls inside one program that the kernel, not
@@ -115,13 +124,13 @@ def bench_train_steps(batch: int, steps: int, store_capacity: int,
     trainer on a 1-device mesh."""
     import jax
 
-    from dcarl_tpu.config import DCARLConfig
+    from dcarl_tpu.config import DCARLConfig, driving_store_config
     from dcarl_tpu.parallel.mesh import make_mesh
     from dcarl_tpu.train_fast import make_trainer_fast
 
     mesh = make_mesh("env", jax.devices()[:1])
     init_fn, _, _, run_factory = make_trainer_fast(
-        mesh, "env", DCARLConfig(),
+        mesh, "env", DCARLConfig(store=driving_store_config()),
         batch_per_device=batch,
         store_capacity_per_device=store_capacity,
         replay_capacity_per_device=store_capacity,
@@ -144,6 +153,57 @@ def bench_train_steps(batch: int, steps: int, store_capacity: int,
     return batch * steps / best
 
 
+def bench_gated_steps(batch: int, steps: int, store_rows: int,
+                      repeats: int = 3):
+    """Confidence-gated deployment driver (make_gated_driver_fast — the
+    inference-mode product: plan + fused all-candidate store query +
+    Welch z-test + drive) env-steps/s against a populated store."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dcarl_tpu.config import EnvConfig, driving_store_config
+    from dcarl_tpu.env.scenario import t_intersection
+    from dcarl_tpu.planning.fast_rollout import make_gated_driver_fast
+
+    scfg = driving_store_config()
+    env_cfg = EnvConfig()
+    sc = t_intersection(env_cfg)
+    init_fn, run_fn = make_gated_driver_fast(sc, env_cfg, store_cfg=scfg)
+
+    # Populate the store with realistic corridor-clustered rows: keys
+    # drawn around driving-state scales so the sorted-band kernel sees
+    # deployment-like selectivity, not an empty store.
+    rng = np.random.default_rng(0)
+    d = env_cfg.state_dim + 1
+    s_keys = np.zeros((store_rows, d), np.float32)
+    s_keys[:, 0] = rng.normal(242.0, 1.0, store_rows)        # ego x
+    s_keys[:, 1] = rng.uniform(70.0, 112.0, store_rows)      # ego y
+    s_keys[:, 2] = rng.normal(0.0, 2.0, store_rows)
+    s_keys[:, 3] = rng.normal(-5.0, 3.0, store_rows)
+    s_keys[:, 4] = rng.normal(-1.57, 0.2, store_rows)
+    s_keys[:, 5:-1] = rng.normal(0.0, 8.0, (store_rows, d - 6))
+    s_keys[:, -1] = rng.integers(0, 11, store_rows)
+    s_vals = jnp.asarray(rng.normal(1.5, 0.5, store_rows), jnp.float32)
+    s_valid = jnp.ones((store_rows,), bool)
+    s_keys = jnp.asarray(s_keys)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    carry = init_fn(keys)
+    sk = jax.random.split(jax.random.PRNGKey(1), steps)
+    carry, out = run_fn(carry, sk, s_keys, s_vals, s_valid)
+    jax.block_until_ready(out[0])
+
+    best = float("inf")
+    for i in range(repeats):
+        sk = jax.random.split(jax.random.PRNGKey(2 + i), steps)
+        t0 = time.perf_counter()
+        carry, out = run_fn(carry, sk, s_keys, s_vals, s_valid)
+        jax.block_until_ready(out[0])
+        best = min(best, time.perf_counter() - t0)
+    return batch * steps / best
+
+
 def main():
     _enable_compile_cache()
     import jax
@@ -156,15 +216,18 @@ def main():
         # under 4% of the run.
         batch, steps = 32768, 300
         store_rows, store_queries = 1 << 16, 4096
-        train_batch, train_steps, train_store = 4096, 20, 1 << 14
+        train_batch, train_steps, train_store = 32768, 20, 1 << 16
+        gated_batch, gated_steps, gated_rows = 65536, 50, 1 << 18
     else:  # CPU smoke mode
         batch, steps = 64, 50
         store_rows, store_queries = 4096, 256
         train_batch, train_steps, train_store = 16, 3, 512
+        gated_batch, gated_steps, gated_rows = 32, 5, 1024
 
     env_rate = bench_env_steps(batch, steps)
     conf_rate = bench_confidence_evals(store_rows, store_queries)
     train_rate = bench_train_steps(train_batch, train_steps, train_store)
+    gated_rate = bench_gated_steps(gated_batch, gated_steps, gated_rows)
 
     target_per_chip = 625_000.0  # 10M aggregate / 16 chips (BASELINE.json)
     print(json.dumps({
@@ -174,8 +237,13 @@ def main():
         "vs_baseline": round(env_rate / target_per_chip, 4),
         "confidence_evals_per_s": round(conf_rate, 1),
         "confidence_store_rows": store_rows,
+        "pallas_parity_checked": backend == "tpu",
         "train_env_steps_per_s": round(train_rate, 1),
         "train_batch": train_batch,
+        "train_store_rows": train_store,
+        "gated_env_steps_per_s": round(gated_rate, 1),
+        "gated_batch": gated_batch,
+        "gated_store_rows": gated_rows,
         "env_batch": batch,
         "backend": backend,
     }))

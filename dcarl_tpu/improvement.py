@@ -51,7 +51,7 @@ from dcarl_tpu.train_fast import make_trainer_fast
 
 
 def demo_config(
-    conservative_radius: float = 2.5,
+    conservative_radius: float = 6.0,
     confidence_thres: float = 0.8,
     visited_times_thres: int = 10,
     rl_visited_times_min: int = 5,
