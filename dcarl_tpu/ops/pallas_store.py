@@ -238,6 +238,108 @@ def box_query_moments_sorted(
     return out[:, :q].T[inv]
 
 
+@functools.partial(jax.jit, static_argnames=("q_tile", "n_tile", "interpret",
+                                             "action_dim"))
+def box_query_moments_grouped(
+    keys: jax.Array,         # [N, D]
+    values: jax.Array,       # [N]
+    valid: jax.Array,        # [N] bool
+    queries: jax.Array,      # [A, Qa, D] — grouped by the action column
+    half_widths: jax.Array,  # [D]
+    q_tile: int = 128,
+    n_tile: int = 2048,
+    interpret: bool = False,
+    action_dim: int = -1,
+) -> jax.Array:
+    """[A, Qa, 3] moments for action-grouped query batches.
+
+    The integrated trainer / gated driver query EVERY action for every
+    env (candidate_keys), so the query batch arrives pre-grouped as
+    [A, Qa, D] — already sorted along the action column, which is the
+    most selective sort dimension (uniform candidate indices over an
+    exact-match half-width of 0.1).  That kills the per-step Q-element
+    argsort + two [Q, D] gathers + the output inverse-permutation that
+    :func:`box_query_moments_sorted` pays to establish band order, while
+    keeping the identical band + MXU-prefilter pruned kernel: each
+    query tile is single-action (or a boundary pair), so it intersects
+    only its action's row band — the sorted-band form of a per-action
+    bucketed store, with no bucket capacity imbalance to manage.
+    Store rows still sort by the action column per call (N-element
+    argsort, amortized: N << Q here).
+    """
+    a, qa, d = queries.shape
+    n = keys.shape[0]
+    keys = keys.astype(jnp.float32)
+    values = values.astype(jnp.float32)
+    queries = queries.astype(jnp.float32)
+    w = half_widths.astype(jnp.float32)
+    sdim = action_dim % d
+    w0 = w[sdim]
+
+    # rows: sort by the action column, invalid rows to the end
+    sk = jnp.where(valid, keys[:, sdim], _PAD)
+    order = jnp.argsort(sk)
+    keys_s = jnp.take(keys, order, axis=0)
+    vals_s = jnp.take(values, order)
+    valid_s = jnp.take(valid, order)
+    sk_s = jnp.take(sk, order)
+
+    flat_q = queries.reshape(a * qa, d)          # action-major == sorted
+    qk = flat_q[:, sdim]
+    q = a * qa
+
+    n_pad = _round_up(max(n, n_tile), n_tile)
+    q_pad = _round_up(max(q, q_tile), q_tile)
+
+    keys_t = jnp.full((d, n_pad), _PAD, jnp.float32).at[:, :n].set(keys_s.T)
+    vals_p = jnp.zeros((1, n_pad), jnp.float32).at[0, :n].set(vals_s)
+    valid_f = jnp.zeros((1, n_pad), jnp.float32).at[0, :n].set(
+        valid_s.astype(jnp.float32))
+    ks_p = jnp.full((1, n_pad), _PAD, jnp.float32).at[0, :n].set(sk_s)
+    q_t = jnp.full((d, q_pad), _PAD, jnp.float32).at[:, :q].set(flat_q.T)
+    qs_p = jnp.full((1, q_pad), _PAD, jnp.float32).at[0, :q].set(qk)
+    w_col = w.reshape(d, 1)
+    iw_col = (1.0 / jnp.maximum(w, 1e-9)).reshape(d, 1)
+    w0_arr = w0.reshape(1)
+
+    grid = (q_pad // q_tile, n_pad // n_tile)
+    out = pl.pallas_call(
+        functools.partial(_sorted_kernel, dim=d),
+        out_shape=jax.ShapeDtypeStruct((3, q_pad), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, q_tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, q_tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_tile), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, n_tile), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_tile), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_tile), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((3, q_tile), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q_pad * n_pad * (d + 3),
+            bytes_accessed=(d + 3) * n_pad * 4 * (q_pad // q_tile)
+            + 3 * q_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qs_p, q_t, ks_p, keys_t, vals_p, valid_f, w_col, iw_col, w0_arr)
+
+    return out[:, :q].T.reshape(a, qa, 3)
+
+
 @functools.partial(jax.jit, static_argnames=("q_tile", "n_tile", "interpret"))
 def box_query_moments_pallas(
     keys: jax.Array,         # [N, D]

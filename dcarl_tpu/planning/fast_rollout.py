@@ -880,7 +880,7 @@ def make_gated_driver_fast(sc: Scenario,
     from dcarl_tpu.config import StoreConfig
     from dcarl_tpu.core import rls as RLSmod
     from dcarl_tpu.core.store import _raw_moments, moments_to_stats
-    from dcarl_tpu.ops.pallas_store import box_query_moments_sorted
+    from dcarl_tpu.ops.pallas_store import box_query_moments_grouped
 
     scfg = store_cfg or StoreConfig()
     if use_pallas is None:
@@ -923,13 +923,24 @@ def make_gated_driver_fast(sc: Scenario,
 
         # --- confidence query: every action of every env in one kernel
         obs_bf = obs.T                                      # [B, 20]
-        queries = RLSmod.candidate_keys(obs_bf, num_actions)
-        flat_q = queries.reshape(-1, queries.shape[-1]).astype(jnp.float32)
         if use_pallas:
-            moments = box_query_moments_sorted(
-                store_keys, store_values, store_valid, flat_q,
-                half_widths.astype(jnp.float32))
+            # action-grouped [A, B, D] batch: pre-banded on the action
+            # column, no per-step query argsort (see pallas_store
+            # .box_query_moments_grouped)
+            obs_g = jnp.broadcast_to(
+                obs_bf[None].astype(jnp.float32),
+                (num_actions, b, obs_bf.shape[1]))
+            act_col = jnp.broadcast_to(
+                jnp.arange(num_actions, dtype=jnp.float32)[:, None, None],
+                (num_actions, b, 1))
+            queries_g = jnp.concatenate([obs_g, act_col], axis=-1)
+            moments = box_query_moments_grouped(
+                store_keys, store_values, store_valid, queries_g,
+                half_widths.astype(jnp.float32)
+            ).transpose(1, 0, 2).reshape(-1, 3)
         else:
+            queries = RLSmod.candidate_keys(obs_bf, num_actions)
+            flat_q = queries.reshape(-1, queries.shape[-1])
             moments = _raw_moments(store_keys.astype(dtype),
                                    store_values.astype(dtype),
                                    store_valid, flat_q.astype(dtype),

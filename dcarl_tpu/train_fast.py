@@ -204,18 +204,28 @@ def make_trainer_fast(
 
         # 2. confidence stats: local moments + psum over store shards
         obs_bf = obs.T                      # [B, 20]
-        keys_q = RLS.candidate_keys(obs_bf, num_actions)
-        flat_q = keys_q.reshape(-1, obs_dim + 1)
         n_local = local_store.keys.shape[0]
         valid = (jax.lax.broadcasted_iota(jnp.int32, (n_local, 1), 0)
                  .squeeze(-1) < local_store.size)
         if use_pallas:
-            from dcarl_tpu.ops.pallas_store import box_query_moments_sorted
-            moments = box_query_moments_sorted(
+            # action-grouped query batch [A, B, D]: already banded on
+            # the most selective (action) column, so the kernel skips
+            # the per-step Q-element argsort + gathers entirely
+            from dcarl_tpu.ops.pallas_store import box_query_moments_grouped
+            obs_g = jnp.broadcast_to(obs_bf[None],
+                                     (num_actions, b, obs_dim))
+            act_col = jnp.broadcast_to(
+                jnp.arange(num_actions, dtype=jnp.float32)[:, None, None],
+                (num_actions, b, 1))
+            queries_g = jnp.concatenate(
+                [obs_g.astype(jnp.float32), act_col], axis=-1)
+            moments_g = box_query_moments_grouped(
                 local_store.keys, local_store.values, valid,
-                flat_q.astype(jnp.float32), half_widths,
-                interpret=pallas_interpret)
+                queries_g, half_widths, interpret=pallas_interpret)
+            moments = moments_g.transpose(1, 0, 2).reshape(-1, 3)
         else:
+            keys_q = RLS.candidate_keys(obs_bf, num_actions)
+            flat_q = keys_q.reshape(-1, obs_dim + 1)
             moments = _raw_moments(local_store.keys, local_store.values,
                                    valid, flat_q, half_widths)
         moments = jax.lax.psum(moments, axis)

@@ -68,6 +68,12 @@ def main():
 
     import jax
 
+    # honor JAX_PLATFORMS even when a sitecustomize pre-registered a
+    # TPU backend (same pattern as tests/conftest.py)
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
     n = args.devices or len(jax.devices())
     on_tpu = jax.default_backend() == "tpu"
     bpd = args.batch_per_device or (32768 if on_tpu else 64)

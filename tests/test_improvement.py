@@ -1,0 +1,54 @@
+"""Continuous-improvement loop, end-to-end at CPU scale (default-on).
+
+The capability the framework exists for (reference README.md:3): the
+integrated trainer fills the confidence store from an empty start, the
+train-mode gate flips off pure-rule behavior as rule evidence
+accumulates (RLS.py:100-118), and at deployment the Welch z-test
+(RLS.py:120-157) activates learned candidates where the data proves
+they beat a deliberately conservative rule — measurably improving the
+fleet's reward rate on matched seeds with no safety regression.
+
+The full-scale run with committed artifacts is
+examples/run_improvement.py (IMPROVEMENT.json / .png); this pins the
+same loop at a small, deterministic scale.
+"""
+
+import numpy as np
+import pytest
+
+from dcarl_tpu.improvement import demo_config, run_improvement
+
+
+@pytest.fixture(scope="module")
+def report():
+    cfg = demo_config(visited_times_thres=6, rl_visited_times_min=3)
+    return run_improvement(
+        cfg, batch_per_device=64, train_steps=250, chunk=50,
+        store_capacity_per_device=1 << 14, eval_envs=64, eval_steps=250,
+        seed=0, n_devices=1, use_pallas=False)
+
+
+def test_store_grows_and_gate_flips(report):
+    h = report["train"]["history"]
+    assert report["train"]["store_rows"] > 1000
+    # the gate starts fully rule (under-explored) and flips once the
+    # rule's box statistics clear visited_times_thres
+    assert h["rule_fraction"][0] == 1.0
+    assert report["train"]["final_rule_fraction"] < 0.95
+
+
+def test_ztest_activates_candidates(report):
+    # deployment-mode activation happens (act_test picks non-rule
+    # candidates somewhere), while the empty-store control never does
+    assert report["eval_rule"]["activation_fraction"] == 0.0
+    assert report["eval_gated"]["activation_fraction"] > 0.02
+
+
+def test_gated_fleet_beats_rule_fleet(report):
+    imp = report["improvement"]
+    # measurable improvement on matched seeds...
+    assert imp["reward_rate_ratio"] > 1.0, imp
+    # ...with no safety regression
+    assert imp["collision_delta_per_kstep"] <= 0.0
+    assert report["eval_gated"]["pass_rate"] >= \
+        report["eval_rule"]["pass_rate"] - 1e-9

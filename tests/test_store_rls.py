@@ -103,6 +103,37 @@ def test_pallas_sorted_kernel_matches_xla():
     np.testing.assert_allclose(got0, 0.0)
 
 
+def test_pallas_grouped_kernel_matches_xla():
+    """Action-grouped entry point: identical moments to the flat brute
+    reduction for the [A, Qa, D] candidate-query layout (the trainer's
+    and gated driver's shape), including partially-filled stores."""
+    rng = np.random.default_rng(5)
+    d, A, Qa = 21, 11, 24
+    n = 700
+    keys = np.asarray(rng.normal(0, 5, (n, d)), np.float32)
+    keys[:, -1] = rng.integers(0, A, n)
+    values = jnp.asarray(rng.normal(0, 1, n), jnp.float32)
+    valid = jnp.asarray(rng.random(n) < 0.6)
+    obs = np.asarray(rng.normal(0, 5, (Qa, d - 1)), np.float32)
+    queries_g = np.concatenate([
+        np.broadcast_to(obs[None], (A, Qa, d - 1)),
+        np.broadcast_to(np.arange(A, dtype=np.float32)[:, None, None],
+                        (A, Qa, 1))], axis=-1)
+    w = jnp.asarray(np.abs(rng.normal(2, 1, d)) + 0.5, jnp.float32)
+    w = w.at[-1].set(0.1)
+
+    from dcarl_tpu.core.store import _raw_moments
+    from dcarl_tpu.ops.pallas_store import box_query_moments_grouped
+
+    flat_q = jnp.asarray(queries_g.reshape(A * Qa, d))
+    ref = np.asarray(_raw_moments(jnp.asarray(keys), values, valid,
+                                  flat_q, w)).reshape(A, Qa, 3)
+    got = np.asarray(box_query_moments_grouped(
+        jnp.asarray(keys), values, valid, jnp.asarray(queries_g), w,
+        q_tile=16, n_tile=256, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-3)
+
+
 def test_store_ring_overwrite():
     d = 3
     store = S.store_init(4, d)
