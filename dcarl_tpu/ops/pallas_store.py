@@ -239,7 +239,7 @@ def box_query_moments_sorted(
 
 
 @functools.partial(jax.jit, static_argnames=("q_tile", "n_tile", "interpret",
-                                             "action_dim"))
+                                             "action_dim", "band_dim"))
 def box_query_moments_grouped(
     keys: jax.Array,         # [N, D]
     values: jax.Array,       # [N]
@@ -250,22 +250,22 @@ def box_query_moments_grouped(
     n_tile: int = 2048,
     interpret: bool = False,
     action_dim: int = -1,
+    band_dim: "int | None" = 1,
 ) -> jax.Array:
     """[A, Qa, 3] moments for action-grouped query batches.
 
     The integrated trainer / gated driver query EVERY action for every
     env (candidate_keys), so the query batch arrives pre-grouped as
-    [A, Qa, D] — already sorted along the action column, which is the
-    most selective sort dimension (uniform candidate indices over an
-    exact-match half-width of 0.1).  That kills the per-step Q-element
-    argsort + two [Q, D] gathers + the output inverse-permutation that
-    :func:`box_query_moments_sorted` pays to establish band order, while
-    keeping the identical band + MXU-prefilter pruned kernel: each
-    query tile is single-action (or a boundary pair), so it intersects
-    only its action's row band — the sorted-band form of a per-action
-    bucketed store, with no bucket capacity imbalance to manage.
-    Store rows still sort by the action column per call (N-element
-    argsort, amortized: N << Q here).
+    [A, Qa, D].  Band order comes from a COMPOSITE key
+    ``action * C + key[band_dim]`` (C spans the band_dim range, so
+    different actions can never band-overlap): tiles prune on action
+    match AND band_dim proximity at once — strictly stronger than the
+    single data-chosen dimension of :func:`box_query_moments_sorted` —
+    while the query side needs only ONE [Qa] argsort along band_dim
+    (shared by all A groups; every group holds the same envs), instead
+    of the full [A*Qa] argsort + [Q, D] gathers of the flat path.
+    ``band_dim=None`` falls back to action-only banding.  band_dim
+    defaults to 1 = ego y, the driving state's most-traversed axis.
     """
     a, qa, d = queries.shape
     n = keys.shape[0]
@@ -274,10 +274,28 @@ def box_query_moments_grouped(
     queries = queries.astype(jnp.float32)
     w = half_widths.astype(jnp.float32)
     sdim = action_dim % d
-    w0 = w[sdim]
 
-    # rows: sort by the action column, invalid rows to the end
-    sk = jnp.where(valid, keys[:, sdim], _PAD)
+    if band_dim is None:
+        w0 = w[sdim]
+        row_band = keys[:, sdim]
+        q_band = queries.reshape(a * qa, d)[:, sdim]
+        qorder = None
+    else:
+        w0 = w[band_dim]
+        bvals = keys[:, band_dim]
+        qb = queries[0, :, band_dim]               # same envs in every group
+        span = jnp.maximum(
+            jnp.max(jnp.abs(bvals), initial=0.0, where=valid),
+            jnp.max(jnp.abs(qb))) + w0 + 1.0
+        c = 4.0 * span
+        row_band = keys[:, sdim] * c + bvals
+        qorder = jnp.argsort(qb)
+        queries = jnp.take(queries, qorder, axis=1)
+        q_band = (queries[:, :, sdim] * c
+                  + queries[:, :, band_dim]).reshape(a * qa)
+
+    # rows: sort by the composite band key, invalid rows to the end
+    sk = jnp.where(valid, row_band, _PAD)
     order = jnp.argsort(sk)
     keys_s = jnp.take(keys, order, axis=0)
     vals_s = jnp.take(values, order)
@@ -285,7 +303,7 @@ def box_query_moments_grouped(
     sk_s = jnp.take(sk, order)
 
     flat_q = queries.reshape(a * qa, d)          # action-major == sorted
-    qk = flat_q[:, sdim]
+    qk = q_band
     q = a * qa
 
     n_pad = _round_up(max(n, n_tile), n_tile)
@@ -337,7 +355,10 @@ def box_query_moments_grouped(
         interpret=interpret,
     )(qs_p, q_t, ks_p, keys_t, vals_p, valid_f, w_col, iw_col, w0_arr)
 
-    return out[:, :q].T.reshape(a, qa, 3)
+    res = out[:, :q].T.reshape(a, qa, 3)
+    if qorder is not None:
+        res = jnp.take(res, jnp.argsort(qorder), axis=1)
+    return res
 
 
 @functools.partial(jax.jit, static_argnames=("q_tile", "n_tile", "interpret"))
