@@ -134,6 +134,9 @@ def bench_train_steps(batch: int, steps: int, store_capacity: int,
         batch_per_device=batch,
         store_capacity_per_device=store_capacity,
         replay_capacity_per_device=store_capacity,
+        # steady-state backfill load is ~B/episode_len * window rows per
+        # step; the budget covers 4x that (dropped_records metric guards)
+        backfill_budget_per_step=max(2048, batch // 4),
     )
     run_fn = run_factory(steps)
     state = init_fn(seed=0)

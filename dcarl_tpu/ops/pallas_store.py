@@ -246,8 +246,8 @@ def box_query_moments_grouped(
     valid: jax.Array,        # [N] bool
     queries: jax.Array,      # [A, Qa, D] — grouped by the action column
     half_widths: jax.Array,  # [D]
-    q_tile: int = 128,
-    n_tile: int = 2048,
+    q_tile: int = 512,
+    n_tile: int = 1024,
     interpret: bool = False,
     action_dim: int = -1,
     band_dim: "int | None" = 1,

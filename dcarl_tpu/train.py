@@ -75,6 +75,12 @@ class StepMetrics(NamedTuple):
     loss: jax.Array
     rule_fraction: jax.Array
     store_rows: jax.Array
+    # terminal-backfill records dropped by the fast trainer's fixed
+    # compaction budget (0 when the budget is disabled or sufficient)
+    dropped_records: jax.Array
+
+
+N_METRICS = len(StepMetrics._fields)
 
 
 def make_trainer(
@@ -198,10 +204,13 @@ def make_trainer(
                                     jnp.ones((objs.shape[0],), bool), wcfg)
         plans = jax.vmap(plan_one)(obs_ori)
 
-        # 2. confidence stats for every action of every env: local
-        #    moments + psum over the store shards (one collective)
-        keys_q = RLS.candidate_keys(obs_ori, num_actions)  # [B, A, D]
-        flat_q = keys_q.reshape(-1, obs_dim + 1)
+        # 2. confidence stats: local moments + psum over the store
+        #    shards (one collective).  Train mode consumes only the
+        #    RULE action's statistics (should_use_rule, RLS.py:96-118),
+        #    so only the action-0 keys are queried — matching the
+        #    reference's single rule-state R-tree lookup per tick.
+        flat_q = RLS.state_with_action(
+            obs_ori, jnp.zeros((b,), obs_ori.dtype))       # [B, D]
         n_local = local_store.keys.shape[0]
         valid = (jax.lax.broadcasted_iota(jnp.int32, (n_local, 1), 0)
                  .squeeze(-1) < local_store.size)
@@ -209,11 +218,12 @@ def make_trainer(
                                flat_q, half_widths)
         moments = jax.lax.psum(moments, axis)
         qstats = moments_to_stats(moments)
+        # rule-only stats in slot 0; act_train reads only [..., 0]
         stats = RLS.ActionStats(
-            count=qstats.count.reshape(b, num_actions),
-            mean=qstats.mean.reshape(b, num_actions),
-            var=qstats.var.reshape(b, num_actions),
-            sigma=qstats.sigma.reshape(b, num_actions),
+            count=qstats.count[:, None],
+            mean=qstats.mean[:, None],
+            var=qstats.var[:, None],
+            sigma=qstats.sigma[:, None],
         )
 
         # 3-4. DQN proposes, RLS gates (deepq/dqn.py:226-236)
@@ -257,11 +267,18 @@ def make_trainer(
         bufs, recs = jax.vmap(push_one)(
             state.traj_obs[0], state.traj_act[0], state.traj_rew[0],
             state.traj_len[0], obs_ori, env_action, reward, done)
-        rec_keys = recs.keys.reshape(-1, obs_dim + 1)
-        new_store = ST.store_insert(local_store, rec_keys,
-                                    recs.actions.reshape(-1),
-                                    recs.values.reshape(-1),
-                                    recs.valid.reshape(-1))
+        # steady flushes first, then terminal backfills — the order the
+        # fast trainer uses (its backfill path compacts; the store's
+        # moment queries are order-insensitive, so only the ring slot
+        # assignment needs to match for the equivalence pin)
+        flush_store = ST.store_insert(
+            local_store, recs.keys[:, 0], recs.actions[:, 0],
+            recs.values[:, 0], recs.valid[:, 0])
+        rec_keys = recs.keys[:, 1:].reshape(-1, obs_dim + 1)
+        new_store = ST.store_insert(flush_store, rec_keys,
+                                    recs.actions[:, 1:].reshape(-1),
+                                    recs.values[:, 1:].reshape(-1),
+                                    recs.valid[:, 1:].reshape(-1))
 
         # 7. replay push + TD step with pmean-ed gradients
         replay = jax.tree.map(lambda x: x[0], state.replay)
@@ -295,6 +312,7 @@ def make_trainer(
             loss=loss,
             rule_fraction=jax.lax.pmean(jnp.mean(env_action == 0), axis),
             store_rows=jax.lax.psum(new_store.size, axis),
+            dropped_records=jnp.zeros((), jnp.int32),
         )
 
         new_state = TrainState(
@@ -336,7 +354,7 @@ def make_trainer(
         _wrapped, mesh=mesh,
         in_specs=(tuple(sharded_specs), P()),
         out_specs=(tuple(sharded_specs),
-                   jax.tree.map(lambda _: P(), StepMetrics(*[0] * 7))),
+                   jax.tree.map(lambda _: P(), StepMetrics(*[0] * N_METRICS))),
         check_vma=False,
     )
 

@@ -50,7 +50,7 @@ from dcarl_tpu.models import dqn as DQ
 from dcarl_tpu.models import networks as NET
 from dcarl_tpu.models import replay as RB
 from dcarl_tpu.planning import fast_rollout as FR
-from dcarl_tpu.train import StepMetrics
+from dcarl_tpu.train import N_METRICS, StepMetrics
 
 
 class FastTrainState(NamedTuple):
@@ -85,6 +85,7 @@ def make_trainer_fast(
     scenario: Optional[Scenario] = None,
     use_pallas: Optional[bool] = None,
     pallas_interpret: bool = False,
+    backfill_budget_per_step: Optional[int] = None,
     dtype=jnp.float32,
 ):
     """Build (init_fn, step_fn, learner) for the lane-major integrated
@@ -202,39 +203,38 @@ def make_trainer_fast(
         best = jnp.argmin(masked_cost, axis=0).astype(jnp.int32)
         rule_index = jnp.where(jnp.any(ok, axis=0), best + 1, 0)
 
-        # 2. confidence stats: local moments + psum over store shards
+        # 2. confidence stats: local moments + psum over store shards.
+        # TRAIN mode consumes only the RULE action's statistics
+        # (should_use_rule, RLS.py:96-118 — the reference queries the
+        # single rule state per tick), so only the action-0 column is
+        # queried: an 11x smaller batch than deployment's all-candidate
+        # fan-out (which lives in make_gated_driver_fast / act_test).
         obs_bf = obs.T                      # [B, 20]
         n_local = local_store.keys.shape[0]
         valid = (jax.lax.broadcasted_iota(jnp.int32, (n_local, 1), 0)
                  .squeeze(-1) < local_store.size)
         if use_pallas:
-            # action-grouped query batch [A, B, D]: already banded on
-            # the most selective (action) column, so the kernel skips
-            # the per-step Q-element argsort + gathers entirely
             from dcarl_tpu.ops.pallas_store import box_query_moments_grouped
-            obs_g = jnp.broadcast_to(obs_bf[None],
-                                     (num_actions, b, obs_dim))
-            act_col = jnp.broadcast_to(
-                jnp.arange(num_actions, dtype=jnp.float32)[:, None, None],
-                (num_actions, b, 1))
             queries_g = jnp.concatenate(
-                [obs_g.astype(jnp.float32), act_col], axis=-1)
-            moments_g = box_query_moments_grouped(
+                [obs_bf[None].astype(jnp.float32),
+                 jnp.zeros((1, b, 1), jnp.float32)], axis=-1)  # [1, B, D]
+            moments = box_query_moments_grouped(
                 local_store.keys, local_store.values, valid,
-                queries_g, half_widths, interpret=pallas_interpret)
-            moments = moments_g.transpose(1, 0, 2).reshape(-1, 3)
+                queries_g, half_widths,
+                interpret=pallas_interpret)[0]          # [B, 3]
         else:
-            keys_q = RLS.candidate_keys(obs_bf, num_actions)
-            flat_q = keys_q.reshape(-1, obs_dim + 1)
+            flat_q = RLS.state_with_action(
+                obs_bf, jnp.zeros((b,), obs_bf.dtype))  # [B, D]
             moments = _raw_moments(local_store.keys, local_store.values,
                                    valid, flat_q, half_widths)
         moments = jax.lax.psum(moments, axis)
         qstats = moments_to_stats(moments)
+        # rule-only stats in slot 0; act_train reads only [..., 0]
         stats = RLS.ActionStats(
-            count=qstats.count.reshape(b, num_actions),
-            mean=qstats.mean.reshape(b, num_actions),
-            var=qstats.var.reshape(b, num_actions),
-            sigma=qstats.sigma.reshape(b, num_actions),
+            count=qstats.count[:, None],
+            mean=qstats.mean[:, None],
+            var=qstats.var[:, None],
+            sigma=qstats.sigma[:, None],
         )
 
         # 3-4. DQN proposes, RLS gates (deepq/dqn.py:226-236)
@@ -275,11 +275,34 @@ def make_trainer_fast(
         bufs, recs = jax.vmap(push_one)(
             state.traj_obs[0], state.traj_act[0], state.traj_rew[0],
             state.traj_len[0], obs_bf, env_action, reward, done)
-        rec_keys = recs.keys.reshape(-1, obs_dim + 1)
-        new_store = ST.store_insert(local_store, rec_keys,
-                                    recs.actions.reshape(-1),
-                                    recs.values.reshape(-1),
-                                    recs.valid.reshape(-1))
+        # Steady flushes: a dense [B] insert (one row per env per step).
+        new_store = ST.store_insert(
+            local_store, recs.keys[:, 0], recs.actions[:, 0],
+            recs.values[:, 0], recs.valid[:, 0])
+        # Terminal backfills: valid only where an episode ended this
+        # step (~B/episode_len rows of the [B, W] block).  Scatter cost
+        # is proportional to rows PROCESSED, not rows valid, so compact
+        # the valid rows to a fixed budget first (one cheap nonzero +
+        # gather) instead of feeding the whole block to the scatter.
+        bk = recs.keys[:, 1:].reshape(-1, obs_dim + 1)
+        ba = recs.actions[:, 1:].reshape(-1)
+        bv = recs.values[:, 1:].reshape(-1)
+        bm = recs.valid[:, 1:].reshape(-1)
+        n_backfill = jnp.sum(bm.astype(jnp.int32))
+        if backfill_budget_per_step is None:
+            new_store = ST.store_insert(new_store, bk, ba, bv, bm)
+            dropped = jnp.zeros((), jnp.int32)
+        else:
+            kbud = int(backfill_budget_per_step)
+            (idx,) = jnp.nonzero(bm, size=kbud, fill_value=bm.shape[0])
+            keep = jnp.arange(kbud) < jnp.minimum(n_backfill, kbud)
+            new_store = ST.store_insert(
+                new_store,
+                jnp.take(bk, idx, axis=0, mode="fill", fill_value=0.0),
+                jnp.take(ba, idx, mode="fill", fill_value=0.0),
+                jnp.take(bv, idx, mode="fill", fill_value=0.0),
+                keep)
+            dropped = jnp.maximum(n_backfill - kbud, 0).astype(jnp.int32)
 
         # 7. replay push + TD step with pmean-ed gradients
         replay = jax.tree.map(lambda x: x[0], state.replay)
@@ -312,6 +335,7 @@ def make_trainer_fast(
             loss=loss,
             rule_fraction=jax.lax.pmean(jnp.mean(env_action == 0), axis),
             store_rows=jax.lax.psum(new_store.size, axis),
+            dropped_records=jax.lax.psum(dropped, axis),
         )
 
         new_state = FastTrainState(
@@ -353,7 +377,7 @@ def make_trainer_fast(
         _wrapped, mesh=mesh,
         in_specs=(tuple(sharded_specs), P()),
         out_specs=(tuple(sharded_specs),
-                   jax.tree.map(lambda _: P(), StepMetrics(*[0] * 7))),
+                   jax.tree.map(lambda _: P(), StepMetrics(*[0] * N_METRICS))),
         check_vma=False,
     )
 
