@@ -63,31 +63,56 @@ def replay_push(
     mask: jax.Array | None = None,
 ) -> Replay:
     """Masked batched append with max-priority init for new rows
-    (NaivePrioritizedBuffer.push:13-27)."""
-    capacity = replay.obs.shape[0]
-    m = (jnp.ones(obs.shape[0], bool) if mask is None else mask)
-    mi = m.astype(jnp.int32)
-    offsets = jnp.cumsum(mi) - mi
-    slots = jnp.where(m, (replay.head + offsets) % capacity, capacity)
+    (NaivePrioritizedBuffer.push:13-27).
 
+    Unmasked pushes whose batch divides the capacity take a contiguous
+    ring-block write (dynamic_update_slice) instead of an M-row scatter
+    — the lockstep trainer pushes a fixed [B] block every step, and a
+    block write is a plain DMA while a scatter pays per-row index
+    processing.  Falls back to the scatter when the head is unaligned
+    (e.g. after interleaved masked pushes)."""
+    capacity = replay.obs.shape[0]
+    batch = obs.shape[0]
     max_prio = jnp.maximum(jnp.max(replay.priority), 1.0)
     dt = replay.obs.dtype
-    return Replay(
-        obs=replay.obs.at[slots].set(obs.astype(dt), mode="drop"),
-        action=replay.action.at[slots].set(
-            action.astype(replay.action.dtype), mode="drop"),
-        reward=replay.reward.at[slots].set(reward.astype(dt), mode="drop"),
-        next_obs=replay.next_obs.at[slots].set(next_obs.astype(dt),
-                                               mode="drop"),
-        done=replay.done.at[slots].set(done.astype(dt), mode="drop"),
-        priority=replay.priority.at[slots].set(
-            jnp.full(obs.shape[0], max_prio, dt), mode="drop"),
-        # keep i32 under jax_enable_x64 (sum() promotes) so scan carries
-        # keep a stable dtype
-        size=jnp.minimum(replay.size + jnp.sum(mi),
-                         capacity).astype(jnp.int32),
-        head=((replay.head + jnp.sum(mi)) % capacity).astype(jnp.int32),
-    )
+    fields = dict(
+        obs=obs.astype(dt), action=action.astype(replay.action.dtype),
+        reward=reward.astype(dt), next_obs=next_obs.astype(dt),
+        done=done.astype(dt),
+        priority=jnp.full(batch, max_prio, dt))
+
+    def scatter(replay, m):
+        mi = m.astype(jnp.int32)
+        offsets = jnp.cumsum(mi) - mi
+        slots = jnp.where(m, (replay.head + offsets) % capacity, capacity)
+        n_new = jnp.sum(mi)
+        return Replay(
+            **{k: getattr(replay, k).at[slots].set(v, mode="drop")
+               for k, v in fields.items()},
+            # keep i32 under jax_enable_x64 (sum() promotes)
+            size=jnp.minimum(replay.size + n_new, capacity).astype(jnp.int32),
+            head=((replay.head + n_new) % capacity).astype(jnp.int32),
+        )
+
+    if mask is not None or capacity % batch != 0:
+        return scatter(replay, jnp.ones(batch, bool) if mask is None
+                       else mask)
+
+    def dense(replay):
+        def upd(buf, new):
+            head = replay.head.astype(jnp.int32)
+            start = (head,) + (jnp.zeros((), jnp.int32),) * (buf.ndim - 1)
+            return jax.lax.dynamic_update_slice(buf, new, start)
+
+        return Replay(
+            **{k: upd(getattr(replay, k), v) for k, v in fields.items()},
+            size=jnp.minimum(replay.size + batch, capacity).astype(jnp.int32),
+            head=((replay.head + batch) % capacity).astype(jnp.int32),
+        )
+
+    aligned = (replay.head % batch) == 0
+    return jax.lax.cond(aligned, dense,
+                        lambda r: scatter(r, jnp.ones(batch, bool)), replay)
 
 
 class Batch(NamedTuple):
