@@ -45,6 +45,65 @@ def test_multihost_smoke_one_process():
     assert rec["reward_mean"] > 0.0
 
 
+_TWO_PROC_WORKER = """
+import sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+from dcarl_tpu.parallel.distributed import initialize_from_env, \\
+    host_device_mesh
+n = initialize_from_env()
+assert n == 2, n
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+mesh = host_device_mesh("env")
+f = shard_map(lambda x: jax.lax.psum(x, "env"), mesh=mesh,
+              in_specs=P("env"), out_specs=P())
+local = np.asarray([float(jax.process_index() + 1)], np.float32)
+xs = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P("env")), local)
+out = np.asarray(jax.device_get(f(xs))).reshape(-1)[0]
+print("RESULT", jax.process_index(), out, flush=True)
+"""
+
+
+def test_two_process_collective():
+    """A REAL world-size-2 run of the bootstrap: two OS processes join
+    the coordination service, build the host-major mesh, and a psum
+    over the cross-process axis returns the global sum (1 + 2 = 3) on
+    both ranks — the mpirun-Allreduce contract (mpi_adam.py:51) over
+    jax.distributed, testable without a pod."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        script = os.path.join(tmp, "worker.py")
+        with open(script, "w") as f:
+            f.write(_TWO_PROC_WORKER.format(repo=REPO))
+        procs = []
+        for rank in range(2):
+            env = dict(os.environ)
+            env.pop("XLA_FLAGS", None)  # 1 device per process
+            env.update({
+                "DCARL_NUM_PROCESSES": "2",
+                "DCARL_PROCESS_ID": str(rank),
+                "DCARL_COORDINATOR": "localhost:18982",
+                "JAX_PLATFORMS": "cpu",
+            })
+            procs.append(subprocess.Popen(
+                [sys.executable, script], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+        outs = [p.communicate(timeout=300) for p in procs]
+        for p, (out, err) in zip(procs, outs):
+            assert p.returncode == 0, err[-2000:]
+        for out, _ in outs:
+            assert "RESULT" in out
+            val = float(out.split("RESULT")[1].split()[1])
+            assert val == 3.0, out
+
+
 def test_host_device_mesh_shapes():
     """In-process: the mesh builders agree with process/device counts."""
     import jax
