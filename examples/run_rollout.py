@@ -20,6 +20,10 @@ def main():
     ap.add_argument("--envs", type=int, default=8)
     ap.add_argument("--steps", type=int, default=1200)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--readable", action="store_true",
+                    help="use the batch-first readable collector "
+                         "(slow compile on a remote TPU; the default "
+                         "is the lane-major fast collector)")
     args = ap.parse_args()
 
     import jax
@@ -28,27 +32,45 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     from dcarl_tpu.env.scenario import t_intersection
-    from dcarl_tpu.planning.rollout import make_collector
 
     sc = t_intersection()
-    init_fn, run_fn = make_collector(sc)
     B, S = args.envs, args.steps
     keys = jax.random.split(jax.random.PRNGKey(0), B)
-    carry = init_fn(keys)
-    step_keys = jax.random.split(jax.random.PRNGKey(1), B * S).reshape(B, S, 2)
 
     import time
 
-    t0 = time.time()
-    carry, rec = run_fn(carry, step_keys)
-    jax.block_until_ready(rec.reward)
-    dt = time.time() - t0
+    if args.readable:
+        from dcarl_tpu.planning.rollout import make_collector
 
-    done = np.asarray(rec.done)
-    ret = np.asarray(rec.episode_return)
-    act = np.asarray(rec.used_action)
-    coll = np.asarray(rec.collided)
-    passed = np.asarray(rec.passed)
+        init_fn, run_fn = make_collector(sc)
+        carry = init_fn(keys)
+        step_keys = jax.random.split(jax.random.PRNGKey(1),
+                                     B * S).reshape(B, S, 2)
+        t0 = time.time()
+        carry, rec = run_fn(carry, step_keys)
+        jax.block_until_ready(rec.reward)
+        dt = time.time() - t0
+        done = np.asarray(rec.done)
+        ret = np.asarray(rec.episode_return)
+        act = np.asarray(rec.used_action)
+        coll = np.asarray(rec.collided)
+        passed = np.asarray(rec.passed)
+    else:
+        from dcarl_tpu.planning.fast_rollout import make_collector_fast
+
+        init_fn, run_fn = make_collector_fast(sc)
+        carry = init_fn(keys)
+        step_keys = jax.random.split(jax.random.PRNGKey(1), S)
+        t0 = time.time()
+        carry, rec = run_fn(carry, step_keys)
+        jax.block_until_ready(rec.reward)
+        dt = time.time() - t0
+        # lane-major records are [S, ..., B]; flatten like the readable
+        done = np.asarray(rec.done).T
+        ret = np.asarray(rec.episode_return).T
+        act = np.asarray(rec.used_action).T
+        coll = np.asarray(rec.collided).T
+        passed = np.asarray(rec.passed).T
 
     n_ep = int(done.sum())
     print(f"{B} envs x {S} steps in {dt:.2f}s "
