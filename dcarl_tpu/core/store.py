@@ -140,6 +140,53 @@ def store_insert(
     )
 
 
+# Key sentinel for dense block writes: far outside any real state, so
+# sentinel rows match no query box (and sort to the end of the Pallas
+# band order — same value as pallas_store._PAD).
+SENTINEL_KEY = 1.0e9
+
+
+def store_insert_dense_block(
+    store: ConfidenceStore,
+    keys: jax.Array,     # [M, D] — M static, capacity % M == 0
+    actions: jax.Array,  # [M]
+    values: jax.Array,   # [M]
+    mask: jax.Array,     # [M] bool
+) -> ConfidenceStore:
+    """Fixed-size block append: one contiguous DMA instead of a scatter.
+
+    A masked ring scatter pays per-row index processing for every row
+    PROCESSED; at trainer scale (tens of thousands of mostly-valid rows
+    per step) the scatter dominates the write path.  This variant
+    writes the whole block contiguously at ``head`` and stamps invalid
+    rows with :data:`SENTINEL_KEY` keys — they occupy capacity (bounded
+    by the caller's invalid fraction) but can never match a query box,
+    so every moment/statistics result is identical to the masked
+    scatter's.  Requires ``capacity % M == 0`` with ``head`` aligned
+    (every insert through this path keeps it aligned), so the block
+    never wraps mid-write."""
+    capacity = store.keys.shape[0]
+    m = keys.shape[0]
+    if capacity % m != 0:
+        raise ValueError(f"capacity {capacity} must be a multiple of the "
+                         f"block size {m} for dense block writes")
+    keys_w = jnp.where(mask[:, None], keys.astype(store.keys.dtype),
+                       jnp.asarray(SENTINEL_KEY, store.keys.dtype))
+    zero = jnp.zeros((), store.values.dtype)
+    actions_w = jnp.where(mask, actions.astype(store.actions.dtype), zero)
+    values_w = jnp.where(mask, values.astype(store.values.dtype), zero)
+    head = store.head.astype(jnp.int32)
+    z = jnp.zeros((), jnp.int32)
+    return ConfidenceStore(
+        keys=jax.lax.dynamic_update_slice(store.keys, keys_w, (head, z)),
+        actions=jax.lax.dynamic_update_slice(store.actions, actions_w,
+                                             (head,)),
+        values=jax.lax.dynamic_update_slice(store.values, values_w, (head,)),
+        size=jnp.minimum(store.size + m, capacity).astype(jnp.int32),
+        head=((head + m) % capacity).astype(jnp.int32),
+    )
+
+
 class QueryStats(NamedTuple):
     count: jax.Array  # [Q] i32 visited times
     mean: jax.Array   # [Q] (-1 where count == 0)

@@ -86,6 +86,7 @@ def make_trainer_fast(
     use_pallas: Optional[bool] = None,
     pallas_interpret: bool = False,
     backfill_budget_per_step: Optional[int] = None,
+    dense_store_writes: bool = False,
     dtype=jnp.float32,
 ):
     """Build (init_fn, step_fn, learner) for the lane-major integrated
@@ -275,34 +276,45 @@ def make_trainer_fast(
         bufs, recs = jax.vmap(push_one)(
             state.traj_obs[0], state.traj_act[0], state.traj_rew[0],
             state.traj_len[0], obs_bf, env_action, reward, done)
-        # Steady flushes: a dense [B] insert (one row per env per step).
-        new_store = ST.store_insert(
-            local_store, recs.keys[:, 0], recs.actions[:, 0],
-            recs.values[:, 0], recs.valid[:, 0])
-        # Terminal backfills: valid only where an episode ended this
-        # step (~B/episode_len rows of the [B, W] block).  Scatter cost
-        # is proportional to rows PROCESSED, not rows valid, so compact
-        # the valid rows to a fixed budget first (one cheap nonzero +
-        # gather) instead of feeding the whole block to the scatter.
+        # Terminal backfills are valid only where an episode ended this
+        # step (~B/episode_len rows of the [B, W] block); scatter/write
+        # cost is proportional to rows PROCESSED, not rows valid, so a
+        # budget compacts them first (one cheap nonzero + gather).
         bk = recs.keys[:, 1:].reshape(-1, obs_dim + 1)
         ba = recs.actions[:, 1:].reshape(-1)
         bv = recs.values[:, 1:].reshape(-1)
         bm = recs.valid[:, 1:].reshape(-1)
         n_backfill = jnp.sum(bm.astype(jnp.int32))
-        if backfill_budget_per_step is None:
-            new_store = ST.store_insert(new_store, bk, ba, bv, bm)
-            dropped = jnp.zeros((), jnp.int32)
-        else:
+        if backfill_budget_per_step is not None:
             kbud = int(backfill_budget_per_step)
             (idx,) = jnp.nonzero(bm, size=kbud, fill_value=bm.shape[0])
-            keep = jnp.arange(kbud) < jnp.minimum(n_backfill, kbud)
-            new_store = ST.store_insert(
-                new_store,
-                jnp.take(bk, idx, axis=0, mode="fill", fill_value=0.0),
-                jnp.take(ba, idx, mode="fill", fill_value=0.0),
-                jnp.take(bv, idx, mode="fill", fill_value=0.0),
-                keep)
+            bk = jnp.take(bk, idx, axis=0, mode="fill", fill_value=0.0)
+            ba = jnp.take(ba, idx, mode="fill", fill_value=0.0)
+            bv = jnp.take(bv, idx, mode="fill", fill_value=0.0)
+            bm = jnp.arange(kbud) < jnp.minimum(n_backfill, kbud)
             dropped = jnp.maximum(n_backfill - kbud, 0).astype(jnp.int32)
+        else:
+            dropped = jnp.zeros((), jnp.int32)
+
+        if dense_store_writes:
+            # one contiguous [B + budget] block write per step (flushes
+            # + compacted backfills), invalid rows as sentinel keys —
+            # store_insert_dense_block: identical query statistics, no
+            # scatter, bounded capacity waste
+            assert backfill_budget_per_step is not None, \
+                "dense_store_writes requires backfill_budget_per_step"
+            new_store = ST.store_insert_dense_block(
+                local_store,
+                jnp.concatenate([recs.keys[:, 0], bk]),
+                jnp.concatenate([recs.actions[:, 0], ba]),
+                jnp.concatenate([recs.values[:, 0], bv]),
+                jnp.concatenate([recs.valid[:, 0], bm]))
+        else:
+            # steady flushes (a dense [B] masked insert), then backfills
+            new_store = ST.store_insert(
+                local_store, recs.keys[:, 0], recs.actions[:, 0],
+                recs.values[:, 0], recs.valid[:, 0])
+            new_store = ST.store_insert(new_store, bk, ba, bv, bm)
 
         # 7. replay push + TD step with pmean-ed gradients
         replay = jax.tree.map(lambda x: x[0], state.replay)

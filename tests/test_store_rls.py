@@ -227,6 +227,58 @@ def test_sharded_store_overflow_policies():
         np.testing.assert_allclose(vals_all, expect)
 
 
+def test_store_dense_block_write_matches_scatter_stats():
+    """store_insert_dense_block: sentinel rows occupy capacity but can
+    never match a query box, so query statistics equal the masked
+    scatter's; blocks ring-wrap whole (capacity % M == 0)."""
+    rng = np.random.default_rng(9)
+    d, m, cap = 4, 8, 32
+    w = jnp.asarray([1.0, 1.0, 1.0, 0.1])
+
+    dense = S.store_init(cap, d)
+    sparse = S.store_init(cap, d)
+    all_keys, all_vals = [], []
+    for wave in range(6):  # 48 rows through a 32-cap ring
+        keys = rng.normal(0, 2, (m, d)).astype(np.float32)
+        keys[:, -1] = rng.integers(0, 3, m)
+        vals = rng.normal(0, 1, m).astype(np.float32)
+        mask = rng.random(m) < 0.7
+        dense = S.store_insert_dense_block(
+            dense, jnp.asarray(keys), jnp.asarray(keys[:, -1]),
+            jnp.asarray(vals), jnp.asarray(mask))
+        sparse = S.store_insert(
+            sparse, jnp.asarray(keys), jnp.asarray(keys[:, -1]),
+            jnp.asarray(vals), jnp.asarray(mask))
+        all_keys.append(keys[mask])
+        all_vals.append(vals[mask])
+
+    assert int(dense.size) == cap
+    # sentinel rows present but inert: query stats match the RECENT
+    # window.  Compare only where both stores still hold the same rows:
+    # the dense ring holds the last 4 blocks (32 rows incl. sentinels).
+    queries = jnp.asarray(rng.normal(0, 2, (40, d)), jnp.float32)
+    queries = queries.at[:, -1].set(
+        jnp.asarray(rng.integers(0, 3, 40), jnp.float32))
+    sd = S.box_query_stats(dense, queries, w, use_pallas=False)
+    # oracle over the dense ring's valid (non-sentinel) contents
+    dk = np.asarray(dense.keys)
+    dv = np.asarray(dense.values)
+    real = dk[:, 0] < S.SENTINEL_KEY / 2
+    for i in range(40):
+        inside = np.all(np.abs(dk[real] - np.asarray(queries)[i]) <=
+                        np.asarray(w), axis=1)
+        assert int(sd.count[i]) == int(inside.sum()), i
+        if inside.sum():
+            np.testing.assert_allclose(float(sd.mean[i]),
+                                       dv[real][inside].mean(), atol=1e-5)
+
+    # capacity not a multiple of the block -> explicit error
+    with pytest.raises(ValueError):
+        S.store_insert_dense_block(S.store_init(30, d), jnp.zeros((8, d)),
+                                   jnp.zeros(8), jnp.zeros(8),
+                                   jnp.ones(8, bool))
+
+
 def test_store_spooler_preserves_history_across_wrap():
     """StoreSpooler + ring store == the reference's unbounded
     append-only text history (RLS.py:34-76): spooling at least once per
