@@ -137,10 +137,10 @@ def bench_train_steps(batch: int, steps: int, store_capacity: int,
         # steady-state backfill load is ~B/episode_len * window rows per
         # step; the budget covers 4x that (dropped_records metric guards)
         backfill_budget_per_step=max(2048, batch // 4),
-        # contiguous block writes (sentinel-key invalid rows) — needs
-        # capacity % (batch + budget) == 0
-        dense_store_writes=(store_capacity
-                            % (batch + max(2048, batch // 4)) == 0),
+        # dense_store_writes stays off here: at this bench's
+        # batch/capacity ratio no whole number of (batch + budget)
+        # blocks fits the ring; the dense path pays off at deployment
+        # ratios (B << capacity, e.g. the improvement run's 2048/131072)
     )
     run_fn = run_factory(steps)
     state = init_fn(seed=0)
