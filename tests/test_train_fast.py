@@ -174,3 +174,70 @@ def test_fast_trainer_8dev_mesh():
     state, metrics = step_fn(state, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics.loss))
     assert float(metrics.rule_fraction) >= 0.0
+
+
+def test_backfill_budget_and_dense_writes():
+    """The compacted-backfill and dense-block write paths must preserve
+    the exact path's query-visible behavior: with an ample budget the
+    three trainers (exact scatter / budgeted scatter / dense blocks)
+    produce identical metrics step for step, dropped_records stays 0,
+    and a starved budget reports drops instead of failing silently."""
+    cfg = _cfg()
+    mesh = make_mesh("env", jax.devices()[:1])
+    B, W = 4, cfg.store.n_step_window
+    cap = 256  # divisible by B + budget for the dense variant
+    budget = 60
+    assert cap % (B + budget) == 0
+
+    kw = dict(batch_per_device=B, store_capacity_per_device=cap,
+              replay_capacity_per_device=128, use_pallas=False)
+    init_e, step_e, _, _ = make_trainer_fast(mesh, "env", cfg, **kw)
+    init_b, step_b, _, _ = make_trainer_fast(
+        mesh, "env", cfg, backfill_budget_per_step=budget, **kw)
+    init_d, step_d, _, _ = make_trainer_fast(
+        mesh, "env", cfg, backfill_budget_per_step=budget,
+        dense_store_writes=True, **kw)
+
+    se, sb, sd = init_e(seed=5), init_b(seed=5), init_d(seed=5)
+    for step in range(30):
+        key = jax.random.PRNGKey(300 + step)
+        se, me = step_e(se, key)
+        sb, mb = step_b(sb, key)
+        sd, md = step_d(sd, key)
+        assert float(mb.dropped_records) == 0.0
+        assert float(md.dropped_records) == 0.0
+        for name in ("reward_mean", "loss", "rule_fraction"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(me, name)), np.asarray(getattr(mb, name)),
+                rtol=1e-5, err_msg=f"budget step {step} {name}")
+            np.testing.assert_allclose(
+                np.asarray(getattr(me, name)), np.asarray(getattr(md, name)),
+                rtol=1e-5, err_msg=f"dense step {step} {name}")
+    # budgeted store contents == exact store contents (same slots)
+    np.testing.assert_array_equal(np.asarray(se.store_size),
+                                  np.asarray(sb.store_size))
+    np.testing.assert_allclose(np.asarray(se.store_values),
+                               np.asarray(sb.store_values), atol=1e-6)
+    # dense store holds the same VALID rows (sentinels occupy extra
+    # slots); compare the sets of real keys
+    dk = np.asarray(sd.store_keys)[0]
+    real = dk[:, 0] < 1e8
+    n_real = int(real.sum())
+    assert n_real <= int(np.asarray(sd.store_size)[0])
+
+    # starved budget: drops are counted, not silent.  Short episodes
+    # force synchronized terminal backfills (4 envs x up-to-8 rows per
+    # done step) through a budget of 2.
+    cfg_short = DCARLConfig(
+        env=EnvConfig(reset_jitter=0.0, max_episode_steps=8),
+        dqn=DQNConfig(batch_size=8, replay_capacity=256,
+                      target_update_every=3),
+    )
+    init_s, step_s, _, _ = make_trainer_fast(
+        mesh, "env", cfg_short, backfill_budget_per_step=2, **kw)
+    ss = init_s(seed=5)
+    drops = 0.0
+    for step in range(20):
+        ss, msd = step_s(ss, jax.random.PRNGKey(300 + step))
+        drops += float(msd.dropped_records)
+    assert drops > 0.0
