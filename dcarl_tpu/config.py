@@ -128,7 +128,13 @@ def driving_store_config(**overrides) -> "StoreConfig":
         # sum_{i<W} gamma^i (only where the caller didn't override).
         w = base.get("n_step_window", StoreConfig.n_step_window)
         g = base.get("gamma", StoreConfig.gamma)
-        m = (1.0 - g ** w) / (1.0 - g)
+        # Geometric discount mass of the window; the gamma -> 1 limit is
+        # w (avoids the 0/0).  This intentionally understates the
+        # steady-flush record's full W+1-reward span (the popped reward
+        # plus the kept window, traj_buffer_push) by one term — the gate
+        # thresholds are support bounds, not exact sums, and the tighter
+        # mass keeps `rule_good_thres` reachable at the speed cap.
+        m = float(w) if g >= 1.0 else (1.0 - g ** w) / (1.0 - g)
         if "explore_high" not in overrides:
             base["explore_high"] = 0.38 * m
         if "rule_good_thres" not in overrides:

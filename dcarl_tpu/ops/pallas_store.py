@@ -284,8 +284,13 @@ def box_query_moments_grouped(
         w0 = w[band_dim]
         bvals = keys[:, band_dim]
         qb = queries[0, :, band_dim]               # same envs in every group
+        # Exclude sentinel rows (dense-block writes stamp invalid rows
+        # with SENTINEL_KEY == _PAD) from the span: their |band| ~ 1e9
+        # would blow up c until the f32 composite key quantizes band to
+        # steps >> w0 and the tile pruning drops true matches.
+        real = valid & (jnp.abs(bvals) < _PAD / 2)
         span = jnp.maximum(
-            jnp.max(jnp.abs(bvals), initial=0.0, where=valid),
+            jnp.max(jnp.abs(bvals), initial=0.0, where=real),
             jnp.max(jnp.abs(qb))) + w0 + 1.0
         c = 4.0 * span
         row_band = keys[:, sdim] * c + bvals
@@ -293,6 +298,11 @@ def box_query_moments_grouped(
         queries = jnp.take(queries, qorder, axis=1)
         q_band = (queries[:, :, sdim] * c
                   + queries[:, :, band_dim]).reshape(a * qa)
+        # Composite keys reach ~A*c; pad the kernel's band-overlap test
+        # by their f32 rounding (2^-23 relative) so quantization can
+        # only loosen pruning, never drop a boundary match.  The exact
+        # per-dimension containment mask keeps results exact.
+        w0 = w0 + 32.0 * c * 1.2e-7
 
     # rows: sort by the composite band key, invalid rows to the end
     sk = jnp.where(valid, row_band, _PAD)

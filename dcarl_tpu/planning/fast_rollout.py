@@ -899,6 +899,14 @@ def make_gated_driver_fast(sc: Scenario,
     hw = np.asarray(scfg.half_widths or FIELD_HALF_WIDTHS, np.float64)
     if hw.shape[0] != env_cfg.state_dim + 1:
         raise ValueError("store half_widths must match state_dim + 1")
+    if hw[-1] >= 0.5:
+        # The action-grouped Pallas kernel bands on an exact-action
+        # composite key: an action half-width that can reach across the
+        # 1.0 action-lattice gap would be silently pruned there.
+        raise ValueError(
+            f"action half_width {hw[-1]} >= 0.5 allows cross-action box "
+            "matches, which the action-grouped query kernel prunes; use "
+            "an exact-match width (< 0.5, e.g. the reference's 0.1)")
     half_widths = jnp.asarray(hw, dtype)
 
     def one_step(carry, key, store_keys, store_values, store_valid):

@@ -141,22 +141,46 @@ class StoreSpooler:
         self.value_path = value_path
         self._head = 0
         self._total = 0  # cumulative inserts observed
+        self._digest = None  # content fingerprint of the last snapshot
 
     def spool(self, store, n_inserted: Optional[int] = None) -> int:
         """Append rows written since the previous ``spool`` call.
 
         ``n_inserted`` is the number of inserts since last spool; if
-        omitted it is inferred from the head delta (correct only when
-        < capacity inserts happened, which the caller guarantees by
-        snapshot frequency).  Returns the number of rows appended."""
+        omitted it is inferred from the head delta — which wraps to 0
+        whenever an exact multiple of ``capacity`` inserts happened, so
+        inferred mode additionally fingerprints the store contents and
+        raises when the contents changed under a zero head delta (the
+        only way a whole-ring wrap can masquerade as "no inserts").
+        Rows stamped with :data:`~dcarl_tpu.core.store.SENTINEL_KEY`
+        (dense-block write padding — they match no query) are skipped,
+        not persisted.  Returns the number of rows appended."""
+        import hashlib
+
+        from dcarl_tpu.core.store import SENTINEL_KEY
+
         keys = np.asarray(jax.device_get(store.keys))
         actions = np.asarray(jax.device_get(store.actions))
         values = np.asarray(jax.device_get(store.values))
         head = int(jax.device_get(store.head))
         capacity = keys.shape[0]
+        digest = hashlib.sha256(
+            np.ascontiguousarray(keys).tobytes()
+            + np.ascontiguousarray(values).tobytes()).digest()
         if n_inserted is None:
             n_inserted = (head - self._head) % capacity
+            if (n_inserted == 0 and self._digest is not None
+                    and digest != self._digest):
+                raise ValueError(
+                    "store contents changed but the head returned to its "
+                    "previous slot: a whole multiple of `capacity` inserts "
+                    "happened since the last spool, so rows were "
+                    "overwritten before they could be persisted; spool "
+                    "more often or pass n_inserted explicitly")
         slots = ring_delta_slots(self._head, head, n_inserted, capacity)
+        real = np.abs(keys[slots]).max(axis=1) < SENTINEL_KEY / 2 \
+            if len(slots) else np.zeros((0,), bool)
+        slots = slots[real]
         with open(self.state_path, "a") as f:
             for row in keys[slots]:
                 f.write(" ".join(f"{x:f}" for x in row) + "\n")
@@ -165,6 +189,7 @@ class StoreSpooler:
                 f.write(f"{a:f} {v:f}\n")
         self._head = head % capacity
         self._total += n_inserted
+        self._digest = digest
         return len(slots)
 
     @property

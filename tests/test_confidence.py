@@ -88,6 +88,13 @@ def test_simulation2_golden_truncated():
     ds = datasets.load_sim2()
     data = ds.data[:5000]
     _check_against_oracle(data, ds.action_values, ds.action_num)
+    # Pinned headline literal for the truncated stream (the Sim-1
+    # activation step got the same hardening): an oracle+implementation
+    # shared bug cannot fake an independently recorded constant.
+    cap = C.required_capacity(data, ds.action_values.shape[0], ds.action_num)
+    _, out = _run_golden(data, ds.action_values, ds.action_num, cap)
+    assert float(out.overall_value[-1]) == pytest.approx(
+        170.5799942422991, abs=1e-6)
 
 
 @pytest.mark.skipif(not datasets.reference_available(),
@@ -97,6 +104,13 @@ def test_simulation2_golden():
     ds = datasets.load_sim2()
     data = ds.data[: ds.stream_len]
     _check_against_oracle(data, ds.action_values, ds.action_num)
+    # The reference demo's headline improvement accounting over the full
+    # 20k stream (Simulation_2/test_DCARL.py:99-105): overall_value
+    # ~= 597.719, pinned as a literal.
+    cap = C.required_capacity(data, ds.action_values.shape[0], ds.action_num)
+    _, out = _run_golden(data, ds.action_values, ds.action_num, cap)
+    assert float(out.overall_value[-1]) == pytest.approx(
+        597.7193818873675, abs=1e-5)
 
 
 @pytest.mark.skipif(not datasets.reference_available(),

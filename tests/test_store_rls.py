@@ -494,3 +494,126 @@ def test_insert_records_roundtrip():
         store = R.insert_records(store, recs)
     # 30 pushes: 20 flushes (steps 10..29 pre-done) + terminal backfill 10
     assert int(store.size) == 30
+
+
+def test_grouped_kernel_exact_on_dense_sentinel_store():
+    """Round-4 advisor fix: a store written via store_insert_dense_block
+    holds VALID rows whose keys are SENTINEL_KEY; the grouped kernel's
+    band-span reduction must exclude them, or the f32 composite band key
+    quantizes to steps >> w0 and true matches near band boundaries get
+    falsely pruned for action groups >= 1."""
+    rng = np.random.default_rng(11)
+    d, A, Qa, m, cap = 5, 4, 16, 16, 256
+    store = S.store_init(cap, d)
+    for wave in range(8):
+        keys = rng.normal(0, 3, (m, d)).astype(np.float32)
+        keys[:, -1] = rng.integers(0, A, m)
+        vals = rng.normal(0, 1, m).astype(np.float32)
+        mask = rng.random(m) < 0.5   # ~half the rows become sentinels
+        store = S.store_insert_dense_block(
+            store, jnp.asarray(keys), jnp.asarray(keys[:, -1]),
+            jnp.asarray(vals), jnp.asarray(mask))
+
+    valid = (jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).squeeze(-1)
+             < store.size)
+    obs = rng.normal(0, 3, (Qa, d - 1)).astype(np.float32)
+    queries_g = np.concatenate([
+        np.broadcast_to(obs[None], (A, Qa, d - 1)),
+        np.broadcast_to(np.arange(A, dtype=np.float32)[:, None, None],
+                        (A, Qa, 1))], axis=-1)
+    w = jnp.asarray([2.0, 2.0, 2.0, 2.0, 0.1], jnp.float32)
+
+    from dcarl_tpu.core.store import _raw_moments
+    from dcarl_tpu.ops.pallas_store import box_query_moments_grouped
+
+    flat_q = jnp.asarray(queries_g.reshape(A * Qa, d))
+    ref = np.asarray(_raw_moments(store.keys, store.values, valid,
+                                  flat_q, w)).reshape(A, Qa, 3)
+    assert ref[1:, :, 0].sum() > 0, "test needs matches in groups >= 1"
+    got = np.asarray(box_query_moments_grouped(
+        store.keys, store.values, valid, jnp.asarray(queries_g), w,
+        q_tile=16, n_tile=64, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-3)
+
+
+def test_spooler_detects_whole_ring_wrap():
+    """Round-4 advisor fix: inferred-mode spooling cannot distinguish
+    'no inserts' from 'exactly capacity inserts' by the head alone; the
+    content fingerprint must turn that silent data loss into an error."""
+    import os
+    import tempfile
+
+    from dcarl_tpu.utils.checkpoint import StoreSpooler
+
+    d, cap = 3, 8
+    store = S.store_init(cap, d)
+    with tempfile.TemporaryDirectory() as tmp:
+        sp = StoreSpooler(os.path.join(tmp, "s.txt"),
+                          os.path.join(tmp, "v.txt"))
+        store = S.store_insert(store, jnp.ones((4, d)), jnp.zeros(4),
+                               jnp.arange(4.0), jnp.ones(4, bool))
+        assert sp.spool(store) == 4          # inferred: head 0 -> 4
+        # exactly `capacity` inserts: head returns to 4, contents differ
+        store = S.store_insert(store, jnp.full((cap, d), 2.0),
+                               jnp.zeros(cap), jnp.arange(cap) + 10.0,
+                               jnp.ones(cap, bool))
+        with pytest.raises(ValueError, match="whole multiple"):
+            sp.spool(store)
+        # a genuine no-op snapshot stays fine
+        sp2 = StoreSpooler(os.path.join(tmp, "s2.txt"),
+                           os.path.join(tmp, "v2.txt"))
+        assert sp2.spool(store, n_inserted=4) == 4  # sync to head 4
+        assert sp2.spool(store) == 0                # unchanged: no-op
+
+
+def test_spooler_skips_sentinel_rows():
+    """Round-4 advisor fix: dense-block sentinel padding rows must not
+    leak into the persisted reference text history (import would count
+    them as real evidence)."""
+    import os
+    import tempfile
+
+    from dcarl_tpu.utils.checkpoint import StoreSpooler, import_store_text
+
+    d, m, cap = 3, 8, 32
+    store = S.store_init(cap, d)
+    keys = np.ones((m, d), np.float32)
+    mask = np.zeros(m, bool)
+    mask[:5] = True
+    with tempfile.TemporaryDirectory() as tmp:
+        sp = StoreSpooler(os.path.join(tmp, "s.txt"),
+                          os.path.join(tmp, "v.txt"))
+        store = S.store_insert_dense_block(
+            store, jnp.asarray(keys), jnp.zeros(m), jnp.arange(float(m)),
+            jnp.asarray(mask))
+        appended = sp.spool(store, n_inserted=m)
+        assert appended == 5                # sentinels skipped
+        re = import_store_text(os.path.join(tmp, "s.txt"),
+                               os.path.join(tmp, "v.txt"), cap)
+        assert int(re.size) == 5
+        assert float(jnp.abs(re.keys[:5]).max()) < S.SENTINEL_KEY / 2
+
+
+def test_driving_store_config_gamma_one():
+    """Round-4 advisor fix: the nstep gate rescale must use the
+    gamma -> 1 limit (w) instead of dividing by zero."""
+    from dcarl_tpu.config import driving_store_config
+
+    cfg = driving_store_config(value_mode="nstep", gamma=1.0,
+                               n_step_window=10)
+    assert cfg.explore_high == pytest.approx(3.8)
+    assert cfg.rule_good_thres == pytest.approx(3.4)
+
+
+def test_gated_driver_rejects_cross_action_width():
+    """Round-4 advisor fix: an action half-width >= 0.5 would be
+    silently pruned by the action-grouped kernel; the factory raises."""
+    from dcarl_tpu.config import DRIVING_HALF_WIDTHS, EnvConfig
+    from dcarl_tpu.env.scenario import t_intersection
+    from dcarl_tpu.planning.fast_rollout import make_gated_driver_fast
+
+    bad = DRIVING_HALF_WIDTHS[:-1] + (1.0,)
+    with pytest.raises(ValueError, match="cross-action"):
+        make_gated_driver_fast(
+            t_intersection(), EnvConfig(),
+            store_cfg=StoreConfig(half_widths=bad))
