@@ -68,6 +68,11 @@ class FastTrainState(NamedTuple):
     store_values: jax.Array        # [S, N_local]
     store_size: jax.Array          # [S]
     store_head: jax.Array          # [S]
+    # cumulative ring slots written per shard (i32, wrapping): the
+    # spool/persistence layer needs EXACT insert counts between store
+    # snapshots — the head alone aliases whole-capacity wraps
+    # (utils/checkpoint.StoreSpooler) — and `size` saturates.
+    store_total: jax.Array         # [S]
     replay: RB.Replay              # [S, ...]
     params: dict                   # replicated
     target_params: dict            # replicated
@@ -148,6 +153,7 @@ def make_trainer_fast(
             store_values=jnp.zeros((s_shards, store_capacity_per_device)),
             store_size=jnp.zeros((s_shards,), jnp.int32),
             store_head=jnp.zeros((s_shards,), jnp.int32),
+            store_total=jnp.zeros((s_shards,), jnp.int32),
             replay=jax.vmap(
                 lambda _: RB.replay_init(replay_capacity_per_device, obs_dim)
             )(jnp.arange(s_shards)),
@@ -166,7 +172,7 @@ def make_trainer_fast(
         obs_ori=shard,
         traj_obs=shard, traj_act=shard, traj_rew=shard, traj_len=shard,
         store_keys=shard, store_actions=shard, store_values=shard,
-        store_size=shard, store_head=shard,
+        store_size=shard, store_head=shard, store_total=shard,
         replay=jax.tree.map(lambda _: shard, RB.Replay(*[0] * 8)),
         params=repl, target_params=repl, opt_state=repl, frame=repl,
     )
@@ -309,12 +315,18 @@ def make_trainer_fast(
                 jnp.concatenate([recs.actions[:, 0], ba]),
                 jnp.concatenate([recs.values[:, 0], bv]),
                 jnp.concatenate([recs.valid[:, 0], bm]))
+            # dense blocks consume a slot per row, sentinel or not
+            slots_written = jnp.asarray(b + bm.shape[0], jnp.int32)
         else:
             # steady flushes (a dense [B] masked insert), then backfills
             new_store = ST.store_insert(
                 local_store, recs.keys[:, 0], recs.actions[:, 0],
                 recs.values[:, 0], recs.valid[:, 0])
             new_store = ST.store_insert(new_store, bk, ba, bv, bm)
+            # keep i32 under jax_enable_x64 (sum() promotes)
+            slots_written = (jnp.sum(recs.valid[:, 0].astype(jnp.int32))
+                             + jnp.sum(bm.astype(jnp.int32))
+                             ).astype(jnp.int32)
 
         # 7. replay push + TD step with pmean-ed gradients
         replay = jax.tree.map(lambda x: x[0], state.replay)
@@ -362,6 +374,7 @@ def make_trainer_fast(
             store_values=new_store.values[None],
             store_size=new_store.size[None],
             store_head=new_store.head[None],
+            store_total=(state.store_total[0] + slots_written)[None],
             replay=jax.tree.map(lambda x: x[None], replay),
             params=params,
             target_params=target_params,
@@ -376,7 +389,7 @@ def make_trainer_fast(
         traj_obs=P(axis), traj_act=P(axis), traj_rew=P(axis),
         traj_len=P(axis),
         store_keys=P(axis), store_actions=P(axis), store_values=P(axis),
-        store_size=P(axis), store_head=P(axis),
+        store_size=P(axis), store_head=P(axis), store_total=P(axis),
         replay=jax.tree.map(lambda _: P(axis), RB.Replay(*[0] * 8)),
         params=P(), target_params=P(), opt_state=P(), frame=P(),
     )
