@@ -849,7 +849,8 @@ def make_gated_driver_fast(sc: Scenario,
                            wcfg: WerlingConfig = WerlingConfig(),
                            store_cfg=None,
                            dtype=jnp.float32,
-                           use_pallas: bool | None = None):
+                           use_pallas: bool | None = None,
+                           psum_axis: "str | None" = None):
     """Lane-major confidence-gated driver — the reference's deployment
     mode (DCARL_agent.py:35-43 predict loop + RLS.act_test,
     RLS.py:120-157) as one fused program over [B] lockstep envs:
@@ -953,6 +954,10 @@ def make_gated_driver_fast(sc: Scenario,
                                    store_values.astype(dtype),
                                    store_valid, flat_q.astype(dtype),
                                    half_widths)
+        if psum_axis is not None:
+            # sharded store: partial moments -> global statistics, the
+            # single global R-tree (RLS.py:161-181) laid over the mesh
+            moments = _jax.lax.psum(moments, psum_axis)
         qs = moments_to_stats(moments)
         stats = RLSmod.ActionStats(
             count=qs.count.reshape(b, num_actions).astype(npdt),
@@ -994,3 +999,63 @@ def make_gated_driver_fast(sc: Scenario,
         return jax.lax.scan(body, carry, step_keys)
 
     return init_fn, run_fn
+
+
+def make_gated_driver_sharded(sc: Scenario,
+                              mesh,
+                              axis: str = "env",
+                              env_cfg: EnvConfig = EnvConfig(),
+                              wcfg: WerlingConfig = WerlingConfig(),
+                              store_cfg=None,
+                              dtype=jnp.float32,
+                              use_pallas: bool | None = None):
+    """Multi-chip deployment form of :func:`make_gated_driver_fast`.
+
+    Envs shard over ``axis`` (pure data parallelism, like
+    :func:`shard_rule_driver`); the confidence store ALSO shards over
+    the same devices (rows axis), and each decision tick ``psum``s the
+    per-shard partial moments so every env's Welch z-test sees the
+    GLOBAL statistics — the reference's single global R-tree
+    (RLS.py:161-181) laid over the mesh, in inference mode
+    (RLS.act_test, RLS.py:120-157).  The only collective per step is
+    that one [Q, 3] psum; everything else partitions cleanly.
+
+    Returns (init_fn, run_fn) with the same call signatures as the
+    single-device driver; ``keys``/env batch and store rows must divide
+    the mesh size.  With ``EnvConfig.reset_jitter = 0`` results are
+    bit-identical to the 1-device driver on the concatenated batch
+    (asserted by ``__graft_entry__.dryrun_multichip`` and
+    ``tests/test_sharded_driver.py``); with jitter, reset draws are
+    blocked per shard, so runs are distribution-equivalent.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    init_fn, run_fn = make_gated_driver_fast(
+        sc, env_cfg, wcfg, store_cfg=store_cfg, dtype=dtype,
+        use_pallas=use_pallas, psum_axis=axis)
+
+    def _lane_p(x):
+        return P(*([None] * (max(getattr(x, "ndim", 1), 1) - 1) + [axis]))
+
+    @jax.jit
+    def init_sharded(keys):
+        b = keys.shape[0]
+        carry_shapes = jax.eval_shape(
+            init_fn, jax.ShapeDtypeStruct((b,) + keys.shape[1:], keys.dtype))
+        cspec = jax.tree.map(_lane_p, carry_shapes)
+        f = shard_map(init_fn, mesh=mesh, in_specs=P(axis),
+                      out_specs=cspec, check_vma=False)
+        return f(keys)
+
+    @jax.jit
+    def run_sharded(carry, step_keys, store_keys, store_values, store_valid):
+        cspec = jax.tree.map(_lane_p, carry)
+        f = shard_map(
+            run_fn, mesh=mesh,
+            in_specs=(cspec, P(), P(axis), P(axis), P(axis)),
+            out_specs=(cspec, (P(None, axis),) * 6),
+            check_vma=False)
+        return f(carry, step_keys, store_keys, store_values, store_valid)
+
+    return init_sharded, run_sharded

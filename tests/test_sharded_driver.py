@@ -36,3 +36,66 @@ def test_sharded_driver_matches_unsharded():
                                        "collided")):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=name)
+
+
+def test_sharded_gated_driver_matches_unsharded():
+    """Gated deployment driver under the mesh: envs sharded, store
+    sharded, per-shard moments psum'd into global statistics — outputs
+    (incl. the z-test activations) bit-equal to the 1-device driver
+    over the concatenated batch (RLS.py:120-157 under the mesh)."""
+    import jax.numpy as jnp
+
+    from dcarl_tpu.config import StoreConfig, driving_store_config
+    from dcarl_tpu.planning.fast_rollout import (make_gated_driver_fast,
+                                                 make_gated_driver_sharded)
+
+    cfg = EnvConfig(reset_jitter=0.0)
+    scfg = driving_store_config(visited_times_thres=5,
+                                rl_visited_times_min=3)
+    sc = t_intersection(cfg)
+
+    batch, steps, rows = 16, 10, 64
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    step_keys = jax.random.split(jax.random.PRNGKey(1), steps)
+
+    # store seeded AT the envs' initial states: rule action 0 looks
+    # mediocre, action 3 looks strong -> the z-test activates at least
+    # on the first ticks (then envs move out of the evidence boxes)
+    init_fn, run_fn = make_gated_driver_fast(sc, cfg, store_cfg=scfg,
+                                             use_pallas=False)
+    carry0 = init_fn(keys)
+    from dcarl_tpu.planning import fast_rollout as FR
+    from dcarl_tpu.env import driving_env as de
+    obs = np.asarray(FR._obs_ori_soa(carry0, de.in_state_indices(sc)))  # [20,B]
+    d = cfg.state_dim + 1
+    rng = np.random.default_rng(3)
+    s_keys = np.zeros((rows, d), np.float32)
+    per = rows // batch
+    for i in range(batch):
+        blk = s_keys[i * per:(i + 1) * per]
+        blk[:, :-1] = obs[:, i][None, :] + rng.normal(0, 0.05,
+                                                      (per, d - 1))
+        blk[:, -1] = np.where(np.arange(per) % 2 == 0, 0.0, 3.0)
+    s_vals = np.where(s_keys[:, -1] == 0, 0.05, 3.0).astype(np.float32)
+    s_vals += rng.normal(0, 0.01, rows).astype(np.float32)
+    s_keys_j = jnp.asarray(s_keys)
+    s_vals_j = jnp.asarray(s_vals)
+    s_valid = jnp.ones((rows,), bool)
+
+    _, out0 = run_fn(carry0, step_keys, s_keys_j, s_vals_j, s_valid)
+    gate0 = np.asarray(out0[5])
+    assert (gate0 != 0).any(), "test store must trigger activations"
+
+    mesh = make_mesh("env", jax.devices())
+    init_s, run_s = make_gated_driver_sharded(sc, mesh, "env", cfg,
+                                              store_cfg=scfg,
+                                              use_pallas=False)
+    carry1 = init_s(keys)
+    _, out1 = run_s(carry1, step_keys, s_keys_j, s_vals_j, s_valid)
+
+    for a, b, name in zip(out0, out1, ("reward", "done", "passed",
+                                       "collided", "executed", "gate")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, err_msg=name)
+    # activations are integers: exact parity required
+    np.testing.assert_array_equal(gate0, np.asarray(out1[5]))
