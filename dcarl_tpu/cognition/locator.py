@@ -111,6 +111,71 @@ def locate_traffic_lights_in_lanes(
     return out
 
 
+class SignKind(IntEnum):
+    """Detected road-sign classes consumed by the lane locators."""
+
+    NONE = 0
+    STOP = 1
+    SPEED_LIMIT = 2
+
+
+class RoadSignDetection(NamedTuple):
+    """Fixed-M detected road signs (stop signs / speed-limit boards).
+
+    The reference left both locators as stubs — ``locate_stop_sign_in
+    _lanes`` is a literal ``pass`` and the speed limit a hardcoded
+    40 km/h (driving_space_constructor.py:1214-1229) — so this goes
+    beyond it: signs carry a world position and are attributed to
+    their NEAREST lane."""
+
+    kind: jax.Array   # [M] SignKind
+    value: jax.Array  # [M] speed limit (m/s) for SPEED_LIMIT signs
+    x: jax.Array      # [M]
+    y: jax.Array      # [M]
+    valid: jax.Array  # [M] bool
+
+
+def _sign_lane_attribution(signs: RoadSignDetection, lanes: jax.Array,
+                           attach_dist: float) -> jax.Array:
+    """[M, L] bool: sign m applies to lane l (its nearest lane, within
+    ``attach_dist`` of the center line)."""
+    proj = jax.vmap(lambda sx, sy: _project_all(sx, sy, lanes))(
+        signs.x, signs.y)
+    ad = jnp.abs(proj.distance)                       # [M, L]
+    nearest = jnp.argmin(ad, axis=1)                  # [M]
+    m_idx = jnp.arange(signs.x.shape[0])
+    close = ad[m_idx, nearest] <= attach_dist
+    return ((nearest[:, None] == jnp.arange(lanes.shape[0])[None, :])
+            & (signs.valid & close)[:, None])
+
+
+def locate_stop_signs_in_lanes(signs: RoadSignDetection, lanes: jax.Array,
+                               attach_dist: float = 8.0) -> jax.Array:
+    """[L] bool — lane has a detected stop sign (the implementation the
+    reference's ``locate_stop_sign_in_lanes`` stub promises,
+    driving_space_constructor.py:1214-1219): each STOP detection stops
+    its nearest lane; the stop line sits at the lane end like the
+    traffic-light case."""
+    member = _sign_lane_attribution(signs, lanes, attach_dist)
+    is_stop = signs.kind == SignKind.STOP.value
+    return jnp.any(member & is_stop[:, None], axis=0)
+
+
+def locate_speed_limits_in_lanes(signs: RoadSignDetection,
+                                 lanes: jax.Array,
+                                 default_limit: jax.Array,
+                                 attach_dist: float = 8.0) -> jax.Array:
+    """[L] m/s — per-lane speed limit: the MINIMUM of the map default
+    and any detected speed-limit sign attributed to the lane (replaces
+    the reference's hardcoded ``40`` at
+    driving_space_constructor.py:1220-1229)."""
+    member = _sign_lane_attribution(signs, lanes, attach_dist)
+    is_lim = signs.kind == SignKind.SPEED_LIMIT.value
+    applies = member & is_lim[:, None]                # [M, L]
+    lim = jnp.where(applies, signs.value[:, None], jnp.inf)
+    return jnp.minimum(default_limit, jnp.min(lim, axis=0))
+
+
 class StaticLocalMap(NamedTuple):
     """The windowed static map (navigation's Map msg): L lanes sampled
     to a common point count N, outermost lane first (reference lane
@@ -198,6 +263,7 @@ def update_map_state(
     ego: EgoPose,
     objects: TrackedObjects,
     lights: "TrafficLightDetection | None" = None,
+    signs: "RoadSignDetection | None" = None,
     lane_end_dist_thres: float = 15.0,
     lane_head_thres: float = 3.0,
     lane_dist_thres: float = 5.0,
@@ -321,13 +387,23 @@ def update_map_state(
     light_stop = (stop_state == StopState.STOP.value) \
         | (stop_state == StopState.YIELD.value)
 
+    # --- detected road signs: stop signs stop their lane; speed-limit
+    # boards cap it (both locators the reference stubbed out,
+    # driving_space_constructor.py:1214-1229)
+    speed_limit = smap.speed_limit
+    if signs is not None:
+        light_stop = light_stop | locate_stop_signs_in_lanes(
+            signs, smap.lanes)
+        speed_limit = locate_speed_limits_in_lanes(
+            signs, smap.lanes, speed_limit)
+
     mmap = MultiLaneState(
         ego_lane_index=ego_lane_index,
         ego_speed=ego_speed,
         ego_vd=ego_ff.vd,
         front=front,
         rear=rear,
-        speed_limit=smap.speed_limit,
+        speed_limit=speed_limit,
         distance_to_junction=ego_tail[ego_rounded],
         target_lane_index=smap.target_lane_index.astype(jnp.float32),
         traffic_light_stop=light_stop,

@@ -275,3 +275,98 @@ def insert_records(store: ConfidenceStore, recs: FlushRecords
         recs.values.reshape(-1),
         recs.valid.reshape(-1),
     )
+
+
+class LaneRecords(NamedTuple):
+    """Lane-major twin of :class:`FlushRecords`: row 0 is the steady
+    flush, rows 1..W the terminal backfill, batch on the LAST axis."""
+
+    keys: jax.Array     # [W+1, D_obs + 1, B]
+    actions: jax.Array  # [W+1, B]
+    values: jax.Array   # [W+1, B]
+    valid: jax.Array    # [W+1, B] bool
+
+
+def traj_push_lane(
+    buf_obs: jax.Array,  # [W, D_obs, B]
+    buf_act: jax.Array,  # [W, B]
+    buf_rew: jax.Array,  # [W, B]
+    length: jax.Array,   # [B] i32
+    obs: jax.Array,      # [D_obs, B] lane-major
+    action: jax.Array,   # [B]
+    reward: jax.Array,   # [B]
+    done: jax.Array,     # [B] bool
+    cfg: StoreConfig = StoreConfig(),
+):
+    """Lane-major (batch-last) twin of :func:`traj_buffer_push`.
+
+    Identical semantics and record ORDER (slot 0 flush, slots 1..W the
+    window oldest-first) — ``tests/test_store_rls.py`` pins bitwise
+    agreement with the vmapped reference implementation.  The point is
+    layout: ``vmap`` of the per-env version lowers the window roll and
+    the position write to per-env gathers/scatters, which profiled as
+    THE dominant trainer cost (56% of the step, DESIGN.md §3c); here
+    the roll is one batch-shared slice-concat and the write a one-hot
+    select — pure elementwise work that rides the VPU lanes.
+
+    Returns ``((buf_obs, buf_act, buf_rew, length), LaneRecords)``.
+    """
+    w, d_obs, b = buf_obs.shape
+    assert w == cfg.n_step_window, "buffer window must match config"
+    dt = buf_rew.dtype
+    action = action.astype(buf_act.dtype)
+
+    full = length >= w                                    # [B]
+    roll_obs = jnp.concatenate([buf_obs[1:], buf_obs[:1]], axis=0)
+    roll_act = jnp.concatenate([buf_act[1:], buf_act[:1]], axis=0)
+    roll_rew = jnp.concatenate([buf_rew[1:], buf_rew[:1]], axis=0)
+    obs_shift = jnp.where(full[None, None, :], roll_obs, buf_obs)
+    act_shift = jnp.where(full[None, :], roll_act, buf_act)
+    rew_shift = jnp.where(full[None, :], roll_rew, buf_rew)
+
+    # the rolled-out oldest entry (pre-shift slot 0) flushes below
+    flushed_obs = buf_obs[0]                              # [D, B]
+    flushed_action = buf_act[0]                           # [B]
+    flushed_reward = buf_rew[0]
+
+    pos = jnp.minimum(length, w - 1)                      # [B]
+    iota = jnp.arange(w)
+    oh = iota[:, None] == pos[None, :]                    # [W, B]
+    new_obs = jnp.where(oh[:, None, :], obs[None], obs_shift)
+    new_act = jnp.where(oh, action[None, :], act_shift)
+    new_rew = jnp.where(oh, reward[None, :], rew_shift)
+    length2 = jnp.minimum(length + 1, w)
+
+    flush_valid = full
+    idx = iota[:, None]                                   # [W, 1]
+    if cfg.value_mode == "nstep":
+        g = jnp.asarray(cfg.gamma, dt)
+        in_ep = (idx < length2[None, :]).astype(dt)       # [W, B]
+        flushed_reward = flushed_reward + jnp.sum(
+            (g ** (idx + 1).astype(dt)) * new_rew * in_ep, axis=0)
+        disc = g ** jnp.maximum(
+            iota[None, :] - iota[:, None], 0).astype(dt)
+        disc = disc * (iota[None, :] >= iota[:, None])
+        backfill_values = jnp.einsum("ij,jb->ib", disc, new_rew * in_ep)
+    else:
+        # terminal backfill (RLS.py:201-215): newest entry's reward,
+        # discounted backwards
+        oh_t = (iota[:, None] == (length2 - 1)[None, :]).astype(dt)
+        terminal_reward = jnp.sum(new_rew * oh_t, axis=0)  # [B]
+        exponent = jnp.maximum(length2[None, :] - 1 - idx, 0).astype(dt)
+        backfill_values = terminal_reward[None, :] * (cfg.gamma ** exponent)
+    backfill_valid = done[None, :] & (idx < length2[None, :])
+
+    flush_key = jnp.concatenate(
+        [flushed_obs, flushed_action[None, :]], axis=0)   # [D+1, B]
+    entry_keys = jnp.concatenate(
+        [new_obs, new_act[:, None, :]], axis=1)           # [W, D+1, B]
+    keys = jnp.concatenate([flush_key[None], entry_keys])
+    actions = jnp.concatenate([flushed_action[None], new_act])
+    values = jnp.concatenate([flushed_reward[None], backfill_values])
+    valid = jnp.concatenate([flush_valid[None], backfill_valid])
+
+    length3 = jnp.where(done, 0, length2)
+    return ((new_obs, new_act, new_rew, length3),
+            LaneRecords(keys=keys, actions=actions, values=values,
+                        valid=valid))

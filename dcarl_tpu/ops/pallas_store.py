@@ -67,72 +67,124 @@ def _kernel(q_ref, keys_ref, vals_ref, valid_ref, w_ref, out_ref, *, dim: int):
 _PAD = 1.0e9
 
 
-def _sorted_kernel(qs_ref, q_ref, ks_ref, keys_ref, vals_ref, valid_ref,
-                   w_ref, iw_ref, w0_ref, out_ref, *, dim: int):
-    """Band + distance pruned tile.
+def _sorted_kernel(q_ref, qbf_ref, rows_ref, kbf_ref, w_ref, w0_ref,
+                   qb_ref, kb_ref, out_ref, *, dim: int, sub_q: int = 512,
+                   sub_n: int = 1024):
+    """Band + distance pruned tile over fused operands.
 
     Three pruning levels, all exact (they only skip work that provably
     produces no matches):
 
-    1. *Band*: rows and queries arrive sorted by the most selective key
-       dimension, so each tile covers a contiguous band of it; skip the
-       tile when the bands cannot intersect.  Padding/invalid rows carry
-       sort key ``_PAD`` and sort to the end, so queries against a
-       mostly-empty store cost only the valid prefix.
-    2. *Distance prefilter (MXU)*: containment implies the w-scaled
-       squared distance is <= dim, and that distance is one [QT, D] x
-       [D, NT] matmul — cheap on the MXU.  A rounding-safe margin keeps
-       it conservative.
-    3. Only when some pair in the tile passes the prefilter does the
-       exact per-dimension VPU chain (the expensive part, ~4*dim ops per
-       pair) run.
+    1. *Band*: rows and queries arrive sorted by the band key, so each
+       (sub_q query slice, sub_n row slice) covers a contiguous band
+       range; slices whose ranges cannot intersect skip everything.
+       Padding/invalid rows carry sort key ``_PAD`` and sort to the
+       end, so queries against a mostly-empty store cost only the
+       valid prefix.
+    2. *bf16 MXU distance prefilter*: containment implies the w-scaled
+       squared distance is <= dim.  Both sides arrive CENTERED (d2 is
+       translation-invariant), w-scaled, and pre-rounded to bf16, with
+       their exact-f32 squared norms in the fused f32 arrays — so the
+       prefilter is one [sub_q, D] x [D, sub_n] bf16 matmul (f32
+       accumulation; bf16 products are exact in f32) and the only
+       rounding is the input rounding, covered by a norm-proportional
+       margin.  On this hardware the MXU runs ~3 orders of magnitude
+       faster than the equivalent VPU chain — this was the kernel's
+       dominant cost in f32 (DESIGN.md §3c).
+    3. Only when some pair in the slice passes the prefilter does the
+       exact per-dimension f32 chain (~4*dim VPU ops per pair) run.
+
+    Layout lessons baked in (measured, DESIGN.md §3c): operands fused
+    per side (few DMA streams per step); band bounds precomputed into
+    SMEM (VMEM->sreg scalar reads cost ~10^2 cycles each); compute
+    sub-sliced to [sub_q, sub_n] so Mosaic's live temporaries stay
+    bounded, which is what allows q_tile/n_tile big enough to amortize
+    per-step overheads.
+
+    Operand layouts:
+      ``q_ref``    [D+1, QT] f32:  rows 0..D-1 queries, D = exact bf16
+                   query norm (of the centered/scaled/rounded vector)
+      ``qbf_ref``  [D, QT] bf16:   centered/scaled/rounded queries
+      ``rows_ref`` [D+3, NT] f32:  keys, D = values, D+1 = valid,
+                   D+2 = exact bf16 key norm
+      ``kbf_ref``  [D, NT] bf16:   centered/scaled/rounded keys
     """
+    i = pl.program_id(0)
     j = pl.program_id(1)
     qt = q_ref.shape[1]
-    nt = keys_ref.shape[1]
+    nt = rows_ref.shape[1]
 
     @pl.when(j == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
     w0 = w0_ref[0]
-    # Sorted ascending => band ends are the tile's first/last elements.
-    q_lo, q_hi = qs_ref[0, 0], qs_ref[0, qt - 1]
-    k_lo, k_hi = ks_ref[0, 0], ks_ref[0, nt - 1]
-    overlap = (k_lo - w0 <= q_hi) & (k_hi + w0 >= q_lo)
+    n_subs = qt // sub_q
+    n_nsubs = nt // sub_n
+    q0 = i * n_subs
+    k0 = j * n_nsubs
+    tile_ov = ((kb_ref[0, k0] - w0 <= qb_ref[1, q0 + n_subs - 1])
+               & (kb_ref[1, k0 + n_nsubs - 1] + w0 >= qb_ref[0, q0]))
 
-    @pl.when(overlap)
+    @pl.when(tile_ov)
     def _():
-        # MXU prefilter: d2[q, n] = sum_d ((q_d - k_d) / w_d)^2.
-        qs = q_ref[:] * iw_ref[:]          # [D, QT] scaled queries
-        ks = keys_ref[:] * iw_ref[:]       # [D, NT] scaled keys
-        qn = jnp.sum(qs * qs, axis=0)      # [QT]
-        kn = jnp.sum(ks * ks, axis=0)      # [NT]
-        dots = jax.lax.dot_general(
-            qs, ks, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [QT, NT]
-        d2 = qn[:, None] - 2.0 * dots + kn[None, :]
-        # Containment => d2 <= dim exactly; pad with a margin covering
-        # f32 matmul/cancellation error (proportional to the magnitudes
-        # that cancel).
-        thresh = dim + 1.0 + 1e-5 * (qn[:, None] + kn[None, :])
-        cand = d2 <= thresh
+        for sq in range(n_subs):
+            qs0, qs1 = sq * sub_q, (sq + 1) * sub_q
+            q_lo = qb_ref[0, q0 + sq]
+            q_hi = qb_ref[1, q0 + sq]
 
-        @pl.when(jnp.any(cand))
-        def _():
-            mask_b = jnp.ones((qt, nt), dtype=jnp.bool_)
-            for d in range(dim):  # static unroll over key dimensions
-                diff = q_ref[d, :][:, None] - keys_ref[d, :][None, :]
-                mask_b = mask_b & (jnp.abs(diff) <= w_ref[d, 0])
-            mask_b = mask_b & (valid_ref[0, :][None, :] != 0.0)
+            for sn in range(n_nsubs):
+                s0, s1 = sn * sub_n, (sn + 1) * sub_n
+                k_lo = kb_ref[0, k0 + sn]
+                k_hi = kb_ref[1, k0 + sn]
+                overlap = (k_lo - w0 <= q_hi) & (k_hi + w0 >= q_lo)
 
-            v = vals_ref[0, :]
-            mask = mask_b.astype(jnp.float32)
-            out_ref[0, :] = out_ref[0, :] + jnp.sum(mask, axis=1)
-            out_ref[1, :] = out_ref[1, :] + jnp.sum(
-                jnp.where(mask_b, v[None, :], 0.0), axis=1)
-            out_ref[2, :] = out_ref[2, :] + jnp.sum(
-                jnp.where(mask_b, (v * v)[None, :], 0.0), axis=1)
+                @pl.when(overlap)
+                def _(qs0=qs0, qs1=qs1, s0=s0, s1=s1):
+                    # bf16 MXU prefilter (see docstring)
+                    qn = q_ref[dim, qs0:qs1]               # [sub_q] f32
+                    kn = rows_ref[dim + 2, s0:s1]          # [sub_n] f32
+                    dots = jax.lax.dot_general(
+                        qbf_ref[:, qs0:qs1], kbf_ref[:, s0:s1],
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    d2 = qn[:, None] - 2.0 * dots + kn[None, :]
+                    # d2 is the EXACT distance of the bf16-rounded
+                    # vectors (products exact in f32); containment of
+                    # the originals implies their distance <= dim, and
+                    # rounding moves each vector by <= 2^-9 of its
+                    # norm: margin = (sqrt(dim) + e)^2 - dim with
+                    # e = 2^-9 (|q| + |k|), padded 4x for accumulation
+                    # order.
+                    e = 0.002 * (jnp.sqrt(qn)[:, None]
+                                 + jnp.sqrt(kn)[None, :])
+                    thresh = dim + 1.0 + 4.0 * (
+                        2.0 * jnp.sqrt(jnp.float32(dim)) * e + e * e)
+                    cand = d2 <= thresh
+
+                    @pl.when(jnp.any(cand))
+                    def _(qs0=qs0, qs1=qs1, s0=s0, s1=s1):
+                        qblk = q_ref[:dim, qs0:qs1]        # [D, sub_q]
+                        kblk = rows_ref[:dim, s0:s1]       # [D, sub_n]
+                        mask_b = jnp.ones((qs1 - qs0, s1 - s0),
+                                          dtype=jnp.bool_)
+                        for d in range(dim):  # static unroll over dims
+                            diff = (qblk[d, :][:, None]
+                                    - kblk[d, :][None, :])
+                            mask_b = mask_b & (jnp.abs(diff) <= w_ref[d, 0])
+                        mask_b = mask_b & (
+                            rows_ref[dim + 1, s0:s1][None, :] != 0.0)
+
+                        v = rows_ref[dim, s0:s1]
+                        mask = mask_b.astype(jnp.float32)
+                        out_ref[0, qs0:qs1] = out_ref[0, qs0:qs1] \
+                            + jnp.sum(mask, axis=1)
+                        out_ref[1, qs0:qs1] = out_ref[1, qs0:qs1] \
+                            + jnp.sum(jnp.where(mask_b, v[None, :], 0.0),
+                                      axis=1)
+                        out_ref[2, qs0:qs1] = out_ref[2, qs0:qs1] \
+                            + jnp.sum(jnp.where(mask_b, (v * v)[None, :],
+                                                0.0), axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("q_tile", "n_tile", "interpret"))
@@ -197,29 +249,63 @@ def box_query_moments_sorted(
     iw_col = (1.0 / jnp.maximum(w, 1e-9)).reshape(d, 1)
     w0_arr = w0.reshape(1)
 
-    grid = (q_pad // q_tile, n_pad // n_tile)
+    out = _launch_sorted(qs_p, q_t, ks_p, keys_t, vals_p, valid_f, w_col,
+                         iw_col, w0_arr, d, q_tile, n_tile, interpret)
 
-    out = pl.pallas_call(
-        functools.partial(_sorted_kernel, dim=d),
+    # Un-sort the query axis.
+    inv = jnp.argsort(qorder)
+    return out[:, :q].T[inv]
+
+
+def _launch_sorted(qs_p, q_t, ks_p, keys_t, vals_p, valid_f, w_col, iw_col,
+                   w0_arr, d, q_tile, n_tile, interpret):
+    """Shared launcher for the banded kernel (flat + grouped paths).
+
+    Fuses the row-side operands (single DMA stream per side per tile),
+    precomputes per-sub-slice band bounds into SMEM, and builds the
+    centered/scaled bf16 copies + exact norms that the kernel's MXU
+    prefilter consumes (see ``_sorted_kernel``)."""
+    q_pad = qs_p.shape[1]
+    n_pad = ks_p.shape[1]
+    sub_q = min(512, q_tile)
+    sub_n = min(1024, n_tile)
+
+    # Center (d2 is translation-invariant; any center is exact — the
+    # row mean keeps bf16 magnitudes, and so the rounding margin, small)
+    cnt = jnp.maximum(jnp.sum(valid_f), 1.0)
+    mu = (keys_t * valid_f) @ jnp.ones((n_pad, 1), jnp.float32) / cnt  # [d,1]
+    iw = iw_col  # [d, 1]
+    kbf = ((keys_t - mu) * iw).astype(jnp.bfloat16)
+    qbf = ((q_t - mu) * iw).astype(jnp.bfloat16)
+    kn = jnp.sum(jnp.square(kbf.astype(jnp.float32)), axis=0)  # exact norms
+    qn = jnp.sum(jnp.square(qbf.astype(jnp.float32)), axis=0)
+
+    q_cat = jnp.concatenate([q_t, qn[None]], axis=0)          # [d+1, q_pad]
+    rows_cat = jnp.concatenate([keys_t, vals_p, valid_f, kn[None]],
+                               axis=0)                         # [d+3, n_pad]
+
+    # band bounds: slices are sorted, so ends are the extremes
+    qb = jnp.stack([qs_p[0, ::sub_q], qs_p[0, sub_q - 1::sub_q]])
+    kb = jnp.stack([ks_p[0, ::sub_n], ks_p[0, sub_n - 1::sub_n]])
+
+    grid = (q_pad // q_tile, n_pad // n_tile)
+    return pl.pallas_call(
+        functools.partial(_sorted_kernel, dim=d, sub_q=sub_q, sub_n=sub_n),
         out_shape=jax.ShapeDtypeStruct((3, q_pad), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, q_tile), lambda i, j: (0, i),
+            pl.BlockSpec((d + 1, q_tile), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((d, q_tile), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_tile), lambda i, j: (0, j),
+            pl.BlockSpec((d + 3, n_tile), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((d, n_tile), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_tile), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_tile), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((d, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, 1), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((3, q_tile), lambda i, j: (0, i),
@@ -231,11 +317,7 @@ def box_query_moments_sorted(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(qs_p, q_t, ks_p, keys_t, vals_p, valid_f, w_col, iw_col, w0_arr)
-
-    # Un-sort the query axis.
-    inv = jnp.argsort(qorder)
-    return out[:, :q].T[inv]
+    )(q_cat, qbf, rows_cat, kbf, w_col, w0_arr, qb, kb)
 
 
 @functools.partial(jax.jit, static_argnames=("q_tile", "n_tile", "interpret",
@@ -246,8 +328,8 @@ def box_query_moments_grouped(
     valid: jax.Array,        # [N] bool
     queries: jax.Array,      # [A, Qa, D] — grouped by the action column
     half_widths: jax.Array,  # [D]
-    q_tile: int = 512,
-    n_tile: int = 1024,
+    q_tile: int = 4096,
+    n_tile: int = 2048,
     interpret: bool = False,
     action_dim: int = -1,
     band_dim: "int | None" = 1,
@@ -330,40 +412,8 @@ def box_query_moments_grouped(
     iw_col = (1.0 / jnp.maximum(w, 1e-9)).reshape(d, 1)
     w0_arr = w0.reshape(1)
 
-    grid = (q_pad // q_tile, n_pad // n_tile)
-    out = pl.pallas_call(
-        functools.partial(_sorted_kernel, dim=d),
-        out_shape=jax.ShapeDtypeStruct((3, q_pad), jnp.float32),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, q_tile), lambda i, j: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, q_tile), lambda i, j: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_tile), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, n_tile), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_tile), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_tile), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, 1), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, 1), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((3, q_tile), lambda i, j: (0, i),
-                               memory_space=pltpu.VMEM),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * q_pad * n_pad * (d + 3),
-            bytes_accessed=(d + 3) * n_pad * 4 * (q_pad // q_tile)
-            + 3 * q_pad * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(qs_p, q_t, ks_p, keys_t, vals_p, valid_f, w_col, iw_col, w0_arr)
+    out = _launch_sorted(qs_p, q_t, ks_p, keys_t, vals_p, valid_f, w_col,
+                         iw_col, w0_arr, d, q_tile, n_tile, interpret)
 
     res = out[:, :q].T.reshape(a, qa, 3)
     if qorder is not None:

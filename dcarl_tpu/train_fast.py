@@ -59,9 +59,9 @@ class FastTrainState(NamedTuple):
 
     env: FR.FastEnvState           # [S, ..., B_local] lane-major
     obs_ori: jax.Array             # [S, 20, B_local]
-    traj_obs: jax.Array            # [S, B_local, W, 20] (batch-first: small)
-    traj_act: jax.Array            # [S, B_local, W]
-    traj_rew: jax.Array            # [S, B_local, W]
+    traj_obs: jax.Array            # [S, W, 20, B_local] lane-major
+    traj_act: jax.Array            # [S, W, B_local]
+    traj_rew: jax.Array            # [S, W, B_local]
     traj_len: jax.Array            # [S, B_local]
     store_keys: jax.Array          # [S, N_local, 21]
     store_actions: jax.Array       # [S, N_local]
@@ -143,9 +143,9 @@ def make_trainer_fast(
         return FastTrainState(
             env=env,
             obs_ori=obs_ori,
-            traj_obs=jnp.zeros((s_shards, batch_per_device, w, obs_dim)),
-            traj_act=jnp.zeros((s_shards, batch_per_device, w)),
-            traj_rew=jnp.zeros((s_shards, batch_per_device, w)),
+            traj_obs=jnp.zeros((s_shards, w, obs_dim, batch_per_device)),
+            traj_act=jnp.zeros((s_shards, w, batch_per_device)),
+            traj_rew=jnp.zeros((s_shards, w, batch_per_device)),
             traj_len=jnp.zeros((s_shards, batch_per_device), jnp.int32),
             store_keys=jnp.zeros((s_shards, store_capacity_per_device,
                                   obs_dim + 1)),
@@ -273,23 +273,21 @@ def make_trainer_fast(
         obs2 = FR._obs_ori_soa(env2, in_idx)
         obs2_bf = obs2.T
 
-        # 6. trajectory-buffer push -> store records (RLS.add_data)
-        def push_one(to, ta, tr, tl, o, a, r, d):
-            buf = RLS.TrajectoryBuffer(to, ta, tr, tl)
-            return RLS.traj_buffer_push(
-                buf, o, a.astype(jnp.float32), r, d, scfg)
-
-        bufs, recs = jax.vmap(push_one)(
+        # 6. trajectory-buffer push -> store records (RLS.add_data) —
+        # lane-major (traj_push_lane: the vmapped per-env form lowers
+        # to gathers/scatters and profiled as 56% of the whole step)
+        bufs, recs = RLS.traj_push_lane(
             state.traj_obs[0], state.traj_act[0], state.traj_rew[0],
-            state.traj_len[0], obs_bf, env_action, reward, done)
+            state.traj_len[0], obs, env_action, reward, done, scfg)
         # Terminal backfills are valid only where an episode ended this
         # step (~B/episode_len rows of the [B, W] block); scatter/write
         # cost is proportional to rows PROCESSED, not rows valid, so a
         # budget compacts them first (one cheap nonzero + gather).
-        bk = recs.keys[:, 1:].reshape(-1, obs_dim + 1)
-        ba = recs.actions[:, 1:].reshape(-1)
-        bv = recs.values[:, 1:].reshape(-1)
-        bm = recs.valid[:, 1:].reshape(-1)
+        # Env-major flattening matches the batch-first emission order.
+        bk = recs.keys[1:].transpose(2, 0, 1).reshape(-1, obs_dim + 1)
+        ba = recs.actions[1:].T.reshape(-1)
+        bv = recs.values[1:].T.reshape(-1)
+        bm = recs.valid[1:].T.reshape(-1)
         n_backfill = jnp.sum(bm.astype(jnp.int32))
         if backfill_budget_per_step is not None:
             kbud = int(backfill_budget_per_step)
@@ -311,20 +309,20 @@ def make_trainer_fast(
                 "dense_store_writes requires backfill_budget_per_step"
             new_store = ST.store_insert_dense_block(
                 local_store,
-                jnp.concatenate([recs.keys[:, 0], bk]),
-                jnp.concatenate([recs.actions[:, 0], ba]),
-                jnp.concatenate([recs.values[:, 0], bv]),
-                jnp.concatenate([recs.valid[:, 0], bm]))
+                jnp.concatenate([recs.keys[0].T, bk]),
+                jnp.concatenate([recs.actions[0], ba]),
+                jnp.concatenate([recs.values[0], bv]),
+                jnp.concatenate([recs.valid[0], bm]))
             # dense blocks consume a slot per row, sentinel or not
             slots_written = jnp.asarray(b + bm.shape[0], jnp.int32)
         else:
             # steady flushes (a dense [B] masked insert), then backfills
             new_store = ST.store_insert(
-                local_store, recs.keys[:, 0], recs.actions[:, 0],
-                recs.values[:, 0], recs.valid[:, 0])
+                local_store, recs.keys[0].T, recs.actions[0],
+                recs.values[0], recs.valid[0])
             new_store = ST.store_insert(new_store, bk, ba, bv, bm)
             # keep i32 under jax_enable_x64 (sum() promotes)
-            slots_written = (jnp.sum(recs.valid[:, 0].astype(jnp.int32))
+            slots_written = (jnp.sum(recs.valid[0].astype(jnp.int32))
                              + jnp.sum(bm.astype(jnp.int32))
                              ).astype(jnp.int32)
 
@@ -365,10 +363,10 @@ def make_trainer_fast(
         new_state = FastTrainState(
             env=jax.tree.map(lambda x: x[None], env2),
             obs_ori=obs2[None],
-            traj_obs=bufs.obs[None],
-            traj_act=bufs.action[None],
-            traj_rew=bufs.reward[None],
-            traj_len=bufs.length[None],
+            traj_obs=bufs[0][None],
+            traj_act=bufs[1][None],
+            traj_rew=bufs[2][None],
+            traj_len=bufs[3][None],
             store_keys=new_store.keys[None],
             store_actions=new_store.actions[None],
             store_values=new_store.values[None],

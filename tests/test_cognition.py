@@ -264,3 +264,61 @@ def test_traffic_light_per_lane_and_mismatch_cases():
         valid=jnp.asarray([True, True, True, False]))
     st3g = np.asarray(locate_traffic_lights_in_lanes(det3g, 2))
     assert st3g.tolist() == [StopState.THRU.value] * 2
+
+
+def test_stop_sign_stops_its_lane_only():
+    """Round-4: detected STOP signs locate to their nearest lane and
+    stop it (the implementation behind the reference's
+    locate_stop_sign_in_lanes stub, driving_space_constructor.py:
+    1214-1219); other lanes keep flowing."""
+    from dcarl_tpu.cognition.locator import RoadSignDetection, SignKind
+    from dcarl_tpu.planning.idm import longitudinal_speed
+
+    smap = straight_map()
+    ego = EgoPose(x=jnp.asarray(90.0), y=jnp.asarray(0.0),
+                  vx=jnp.asarray(8.0), vy=jnp.asarray(0.0),
+                  yaw=jnp.asarray(0.0))
+    # stop sign 1 m to the side of lane 0's end; nothing near lane 1
+    signs = RoadSignDetection(
+        kind=jnp.asarray([SignKind.STOP.value, 0, 0], jnp.int32),
+        value=jnp.zeros((3,)),
+        x=jnp.asarray([98.0, 0.0, 0.0]),
+        y=jnp.asarray([-1.0, 0.0, 0.0]),
+        valid=jnp.asarray([True, False, False]))
+
+    mmap, _, _ = update_map_state(smap, ego, no_objects(), signs=signs)
+    assert bool(mmap.traffic_light_stop[0])
+    assert not bool(mmap.traffic_light_stop[1])
+    v0 = longitudinal_speed(mmap, jnp.asarray(0), traffic_light=True)
+    v1 = longitudinal_speed(mmap, jnp.asarray(1), traffic_light=True)
+    assert float(v0) == 0.0       # stop line 10 m ahead on lane 0
+    assert float(v1) > 5.0        # lane 1 unaffected
+
+    # too-far sign attaches to no lane
+    far = signs._replace(y=jnp.asarray([-50.0, 0.0, 0.0]))
+    mmap_far, _, _ = update_map_state(smap, ego, no_objects(), signs=far)
+    assert not bool(mmap_far.traffic_light_stop.any())
+
+
+def test_speed_limit_sign_caps_lane():
+    """Round-4: detected speed-limit boards override the map limit for
+    their nearest lane only, taking the minimum (replaces the
+    reference's hardcoded 40 km/h, driving_space_constructor.py:
+    1220-1229)."""
+    from dcarl_tpu.cognition.locator import RoadSignDetection, SignKind
+
+    smap = straight_map()                      # map limit 15 m/s
+    ego = EgoPose(x=jnp.asarray(50.0), y=jnp.asarray(0.0),
+                  vx=jnp.asarray(8.0), vy=jnp.asarray(0.0),
+                  yaw=jnp.asarray(0.0))
+    signs = RoadSignDetection(
+        kind=jnp.asarray([SignKind.SPEED_LIMIT.value,
+                          SignKind.SPEED_LIMIT.value, 0], jnp.int32),
+        value=jnp.asarray([8.0, 20.0, 0.0]),
+        x=jnp.asarray([60.0, 60.0, 0.0]),
+        y=jnp.asarray([0.5, 3.0, 0.0]),        # lane 0 and lane 1
+        valid=jnp.asarray([True, True, False]))
+
+    mmap, _, _ = update_map_state(smap, ego, no_objects(), signs=signs)
+    np.testing.assert_allclose(np.asarray(mmap.speed_limit),
+                               [8.0, 15.0])   # min(15, 8) / min(15, 20)

@@ -617,3 +617,49 @@ def test_gated_driver_rejects_cross_action_width():
         make_gated_driver_fast(
             t_intersection(), EnvConfig(),
             store_cfg=StoreConfig(half_widths=bad))
+
+
+def test_traj_push_lane_matches_vmapped_reference():
+    """Round-4 perf rewrite: the lane-major trajectory push must be
+    BITWISE-equal (same record order, same values) to the vmapped
+    per-env traj_buffer_push in both value modes."""
+    rng = np.random.default_rng(17)
+    B, W, D = 6, 5, 4
+    for mode in ("reference", "nstep"):
+        cfg = StoreConfig(n_step_window=W, gamma=0.9, value_mode=mode)
+        buf_obs = jnp.asarray(rng.normal(0, 1, (B, W, D)), jnp.float32)
+        buf_act = jnp.asarray(rng.integers(0, 5, (B, W)), jnp.float32)
+        buf_rew = jnp.asarray(rng.normal(0, 1, (B, W)), jnp.float32)
+        length = jnp.asarray(rng.integers(0, W + 1, B), jnp.int32)
+        obs = jnp.asarray(rng.normal(0, 1, (B, D)), jnp.float32)
+        act = jnp.asarray(rng.integers(0, 5, B), jnp.float32)
+        rew = jnp.asarray(rng.normal(0, 1, B), jnp.float32)
+        done = jnp.asarray(rng.random(B) < 0.5)
+
+        def push_one(to, ta, tr, tl, o, a, r, d):
+            buf = R.TrajectoryBuffer(to, ta, tr, tl)
+            return R.traj_buffer_push(buf, o, a, r, d, cfg)
+
+        bufs_ref, recs_ref = jax.vmap(push_one)(
+            buf_obs, buf_act, buf_rew, length, obs, act, rew, done)
+
+        bufs_ln, recs_ln = R.traj_push_lane(
+            buf_obs.transpose(1, 2, 0), buf_act.T, buf_rew.T, length,
+            obs.T, act, rew, done, cfg)
+
+        np.testing.assert_array_equal(
+            np.asarray(bufs_ref.obs), np.asarray(bufs_ln[0]).transpose(2, 0, 1))
+        np.testing.assert_array_equal(np.asarray(bufs_ref.action),
+                                      np.asarray(bufs_ln[1]).T)
+        np.testing.assert_array_equal(np.asarray(bufs_ref.reward),
+                                      np.asarray(bufs_ln[2]).T)
+        np.testing.assert_array_equal(np.asarray(bufs_ref.length),
+                                      np.asarray(bufs_ln[3]))
+        np.testing.assert_array_equal(
+            np.asarray(recs_ref.keys),
+            np.asarray(recs_ln.keys).transpose(2, 0, 1))
+        np.testing.assert_array_equal(np.asarray(recs_ref.valid),
+                                      np.asarray(recs_ln.valid).T)
+        np.testing.assert_allclose(np.asarray(recs_ref.values),
+                                   np.asarray(recs_ln.values).T,
+                                   rtol=1e-6, atol=1e-7, err_msg=mode)
