@@ -252,3 +252,38 @@ def box_query_stats(
         moments = _raw_moments(store.keys, store.values, valid, queries,
                                half_widths)
     return moments_to_stats(moments)
+
+
+def active_region_mask(
+    keys,                       # [N, D] host-side key array (numpy ok)
+    half_widths,                # [D]
+    region_dims,                # tuple of dim indices defining the region
+    center,                     # [len(region_dims)]
+    radius,                     # [len(region_dims)]
+):
+    """[N] bool — rows that can affect ANY query inside the operating
+    region ``|q[dim] - center] <= radius`` (per region dim).
+
+    The vehicle-life working-set contract: the FULL history lives off
+    device (the C++ grid-hash :class:`~dcarl_tpu.utils.native.
+    HostBoxStore`, or the spooled text history of
+    :class:`~dcarl_tpu.utils.checkpoint.StoreSpooler`) and grows
+    without bound (RLS.py:185-215); the device store holds only the
+    rows this mask selects for the fleet's current operating region.
+    A row can match a query only if ``|key_d - q_d| <= w_d``, so any
+    row with ``|key_d - center_d| > radius_d + w_d`` on some region
+    dim matches NO in-region query — dropping it is exact, which
+    ``tests/test_store_rls.py`` pins: in-region queries against the
+    cached subset equal queries against the full store, bitwise.
+    Re-center (host-side, asynchronously) when the fleet approaches
+    the region edge; queries stay exact as long as they remain inside
+    the region the current cache was built for."""
+    import numpy as np
+
+    keys = np.asarray(keys)
+    half_widths = np.asarray(half_widths)
+    mask = np.ones(keys.shape[0], bool)
+    for i, dim in enumerate(region_dims):
+        reach = float(radius[i]) + float(half_widths[dim])
+        mask &= np.abs(keys[:, dim] - float(center[i])) <= reach
+    return mask

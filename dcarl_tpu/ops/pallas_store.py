@@ -310,6 +310,8 @@ def _launch_sorted(qs_p, q_t, ks_p, keys_t, vals_p, valid_f, w_col, iw_col,
         ],
         out_specs=pl.BlockSpec((3, q_tile), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=2 * q_pad * n_pad * (d + 3),
             bytes_accessed=(d + 3) * n_pad * 4 * (q_pad // q_tile)

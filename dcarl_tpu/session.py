@@ -97,6 +97,18 @@ class TrainSession:
                 self._spooled_total[s] = meta["spooled_totals"][s]
         return state, step
 
+    def mark_synced(self, state: FastTrainState) -> None:
+        """Declare the state's current store contents already persisted
+        (e.g. just imported from a previous session's history via
+        :func:`seed_store_from_text`): subsequent ``spool`` calls append
+        only rows written AFTER this point."""
+        totals = np.asarray(jax.device_get(state.store_total))
+        heads = np.asarray(jax.device_get(state.store_head))
+        for s in range(self.n_shards):
+            self._spooled_total[s] = int(totals[s])
+            self._spoolers[s]._head = int(heads[s])
+            self._spoolers[s]._digest = None
+
     # -- history spooling (RLS.py:185-215 unbounded persistence) --------
     def spool(self, state: FastTrainState) -> int:
         """Append every store row written since the last spool to the

@@ -33,6 +33,11 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="IMPROVEMENT")
     p.add_argument("--smoke", action="store_true")
+    p.add_argument("--suite", action="store_true",
+                   help="run the full round-4 experiment suite (main + "
+                        "reference-default + negative control + "
+                        "pass-limited + two-session lifecycle)")
+    p.add_argument("--session-root", default="/tmp/dcarl_sessions")
     args = p.parse_args()
 
     import jax
@@ -43,12 +48,29 @@ def main():
     except Exception:
         pass
 
-    from dcarl_tpu.improvement import demo_config, run_improvement
+    from dcarl_tpu.improvement import (demo_config, run_improvement,
+                                       run_improvement_suite)
 
     if args.smoke:
         args.batch, args.train_steps, args.chunk = 64, 250, 50
         args.store_capacity = 1 << 14
         args.eval_envs, args.eval_steps = 64, 250
+
+    if args.suite:
+        rep = run_improvement_suite(
+            args.session_root,
+            batch_per_device=args.batch,
+            train_steps=args.train_steps,
+            chunk=args.chunk,
+            store_capacity_per_device=args.store_capacity,
+            eval_envs=args.eval_envs,
+            eval_steps=args.eval_steps,
+            seed=args.seed,
+        )
+        with open(args.out + ".json", "w") as f:
+            json.dump(rep, f, indent=1)
+        print(json.dumps(rep["summary"]))
+        return
 
     cfg = demo_config(visited_times_thres=6, rl_visited_times_min=3) \
         if args.smoke else demo_config()

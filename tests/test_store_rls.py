@@ -663,3 +663,43 @@ def test_traj_push_lane_matches_vmapped_reference():
         np.testing.assert_allclose(np.asarray(recs_ref.values),
                                    np.asarray(recs_ln.values).T,
                                    rtol=1e-6, atol=1e-7, err_msg=mode)
+
+
+def test_active_region_cache_exact_for_in_region_queries():
+    """Round-4 vehicle-life working set: the device cache built by
+    active_region_mask answers every IN-REGION query identically to the
+    full (host-resident) history — the exactness contract that lets the
+    store grow past HBM while the device holds a working set."""
+    rng = np.random.default_rng(23)
+    d, n = 5, 20000
+    keys = rng.normal(0, 30, (n, d)).astype(np.float32)
+    keys[:, -1] = rng.integers(0, 4, n)
+    vals = rng.normal(0, 1, n).astype(np.float32)
+    w = np.asarray([2.0, 2.0, 1.0, 1.0, 0.1], np.float32)
+
+    center, radius = (5.0, -3.0), (10.0, 10.0)
+    mask = S.active_region_mask(keys, w, (0, 1), center, radius)
+    assert 0 < mask.sum() < n  # a real subset
+
+    q = rng.uniform(-1, 1, (64, d)).astype(np.float32)
+    q[:, 0] = center[0] + rng.uniform(-radius[0], radius[0], 64)
+    q[:, 1] = center[1] + rng.uniform(-radius[1], radius[1], 64)
+    q[:, -1] = rng.integers(0, 4, 64)
+
+    full = np.asarray(S._raw_moments(
+        jnp.asarray(keys), jnp.asarray(vals), jnp.ones(n, bool),
+        jnp.asarray(q), jnp.asarray(w)))
+    sub_k, sub_v = keys[mask], vals[mask]
+    cached = np.asarray(S._raw_moments(
+        jnp.asarray(sub_k), jnp.asarray(sub_v),
+        jnp.ones(int(mask.sum()), bool), jnp.asarray(q), jnp.asarray(w)))
+    np.testing.assert_array_equal(full, cached)
+    assert full[:, 0].sum() > 0  # the test exercises real matches
+
+    # out-of-region queries are allowed to differ -> must re-center
+    q_out = q.copy()
+    q_out[:, 0] = center[0] + 3 * radius[0]
+    full_o = np.asarray(S._raw_moments(
+        jnp.asarray(keys), jnp.asarray(vals), jnp.ones(n, bool),
+        jnp.asarray(q_out), jnp.asarray(w)))
+    assert full_o[:, 0].sum() >= 0  # (smoke: full store still answers)
