@@ -173,27 +173,56 @@ def bench_gated_steps(batch: int, steps: int, store_rows: int,
     from dcarl_tpu.env.scenario import t_intersection
     from dcarl_tpu.planning.fast_rollout import make_gated_driver_fast
 
+    from dcarl_tpu.planning.fast_rollout import make_collector_fast
+
     scfg = driving_store_config()
     env_cfg = EnvConfig()
     sc = t_intersection(env_cfg)
     init_fn, run_fn = make_gated_driver_fast(sc, env_cfg, store_cfg=scfg)
 
-    # Populate the store with realistic corridor-clustered rows: keys
-    # drawn around driving-state scales so the sorted-band kernel sees
-    # deployment-like selectivity, not an empty store.
-    rng = np.random.default_rng(0)
+    # Populate the store from REAL rollouts: states recorded by the
+    # value-collection driver, actions = the rule's lattice picks, so
+    # the query kernel faces the true visited-state distribution (and
+    # genuine matches), not synthetic never-matching noise.
+    cb = min(4096, max(batch, 64))
+    init_c, run_c = make_collector_fast(sc, env_cfg)
+    ckeys = jax.random.split(jax.random.PRNGKey(7), cb)
+    ccarry = init_c(ckeys)
+    csteps = store_rows // cb + 1
+    csk = jax.random.split(jax.random.PRNGKey(8), csteps)
+    _, recs = run_c(ccarry, csk)
+    states = np.asarray(recs.recorded_state)       # [S, 20, B]
+    acts = np.asarray(recs.rule_index)             # [S, B] real lattice mix
+    rews = np.asarray(recs.reward)
     d = env_cfg.state_dim + 1
-    s_keys = np.zeros((store_rows, d), np.float32)
-    s_keys[:, 0] = rng.normal(242.0, 1.0, store_rows)        # ego x
-    s_keys[:, 1] = rng.uniform(70.0, 112.0, store_rows)      # ego y
-    s_keys[:, 2] = rng.normal(0.0, 2.0, store_rows)
-    s_keys[:, 3] = rng.normal(-5.0, 3.0, store_rows)
-    s_keys[:, 4] = rng.normal(-1.57, 0.2, store_rows)
-    s_keys[:, 5:-1] = rng.normal(0.0, 8.0, (store_rows, d - 6))
-    s_keys[:, -1] = rng.integers(0, 11, store_rows)
-    s_vals = jnp.asarray(rng.normal(1.5, 0.5, store_rows), jnp.float32)
-    s_valid = jnp.ones((store_rows,), bool)
+    s_keys = np.concatenate(
+        [states.transpose(0, 2, 1).reshape(-1, env_cfg.state_dim),
+         acts.reshape(-1, 1).astype(np.float32)], axis=1)[:store_rows]
+    s_vals = jnp.asarray(rews.reshape(-1)[:store_rows], jnp.float32)
+    s_valid = jnp.ones((s_keys.shape[0],), bool)
     s_keys = jnp.asarray(s_keys)
+    store_rows = s_keys.shape[0]
+
+    if jax.default_backend() == "tpu":
+        # Real-hardware parity of the deployment query kernel (the
+        # per-action feats-matmul path the gated driver runs) against
+        # the XLA reduction over the full candidate batch.
+        from dcarl_tpu.core.store import _raw_moments
+        from dcarl_tpu.ops.pallas_store import box_query_moments_peraction
+
+        hw = jnp.asarray(scfg.half_widths, jnp.float32)
+        obs_probe = s_keys[:32, :-1] + 0.5  # near-data probes
+        a_n = env_cfg.action_dim
+        qg = jnp.concatenate([
+            jnp.broadcast_to(obs_probe[None], (a_n, 32, d - 1)),
+            jnp.broadcast_to(
+                jnp.arange(a_n, dtype=jnp.float32)[:, None, None],
+                (a_n, 32, 1))], axis=-1).reshape(-1, d)
+        ref = np.asarray(_raw_moments(s_keys, s_vals, s_valid, qg, hw)
+                         ).reshape(a_n, 32, 3).transpose(1, 0, 2)
+        got = np.asarray(box_query_moments_peraction(
+            s_keys, s_vals, s_valid, obs_probe, hw, num_actions=a_n))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-3)
 
     keys = jax.random.split(jax.random.PRNGKey(0), batch)
     carry = init_fn(keys)

@@ -298,17 +298,23 @@ def train_store_sessioned(
         # this session's spool appends only its OWN new evidence
         sess.mark_synced(state)
 
-    run_fn = sess.run_factory(chunk)
+    # Spool cadence must beat the ring: <= capacity inserts between
+    # spools (StoreSpooler contract).  Worst case ~2*batch slots/step
+    # (flush + full terminal backfill), so cap the scan length.
+    sub_chunk = max(1, min(chunk, store_capacity_per_device
+                           // (2 * batch_per_device)))
+    run_fn = sess.run_factory(sub_chunk)
     history: Dict[str, list] = {}
     key = jax.random.PRNGKey(seed + 1)
-    for i in range(steps // chunk):
+    for i in range(steps // sub_chunk):
         key, sub = jax.random.split(key)
         state, metrics = run_fn(state, sub)
         sess.spool(state)
         m = {k: np.asarray(v) for k, v in metrics._asdict().items()}
         for k, v in m.items():
             history.setdefault(k, []).append(float(v.mean()))
-        history.setdefault("step", []).append(start_step + (i + 1) * chunk)
+        history.setdefault("step", []).append(
+            start_step + (i + 1) * sub_chunk)
     sess.save(state, step=start_step + steps, spool_first=True)
 
     keys_sh = np.asarray(state.store_keys)

@@ -483,3 +483,191 @@ def box_query_moments_pallas(
     )(q_t, keys_t, vals, valid_f, w)
 
     return out[:, :q].T
+
+
+def _peraction_kernel(q_ref, rows_ref, w_ref, w0_ref, qb_ref, kb_ref,
+                      out_ref, *, obs_dim: int, n_feats: int,
+                      sub_q: int = 512, sub_n: int = 1024):
+    """Per-action moment kernel — the deployment query's true shape.
+
+    The gated driver needs count/sum/sumsq for EVERY candidate action
+    of every env.  The round-3 path asked that as A×B independent
+    21-D queries, but the A action columns of one env share identical
+    observation dims, and with an integer action lattice and action
+    half-width < 0.5 each stored row matches EXACTLY ONE action — so
+    the problem is really: one 20-D containment mask per (env, row),
+    then a scatter of each matching row's [1, v, v²] into its own
+    action's moments.  That scatter IS a matmul: rows carry a
+    precomputed feature block ``feats[a*3 + m] = valid * onehot(action)
+    ⊗ [1, v, v²]`` and the kernel computes ``out += feats @ mask^T`` on
+    the MXU (K = sub_n: a GOOD matmul shape, unlike the prefilter's
+    K = 21).  Query-side work drops A-fold vs the grouped path and no
+    distance prefilter is needed at all; the band prune (rows and
+    queries sorted by the band dim, bounds in SMEM) bounds the masked
+    work exactly as before.
+
+    Operand layouts:
+      ``q_ref``    [OBS, QT] f32: observation queries (no action col)
+      ``rows_ref`` [OBS + 3A, NT] f32: rows 0..OBS-1 = obs keys,
+                   then the 3A-row feature block
+    """
+    j = pl.program_id(1)
+    i = pl.program_id(0)
+    qt = q_ref.shape[1]
+    nt = rows_ref.shape[1]
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    w0 = w0_ref[0]
+    n_subs = qt // sub_q
+    n_nsubs = nt // sub_n
+    q0 = i * n_subs
+    k0 = j * n_nsubs
+    tile_ov = ((kb_ref[0, k0] - w0 <= qb_ref[1, q0 + n_subs - 1])
+               & (kb_ref[1, k0 + n_nsubs - 1] + w0 >= qb_ref[0, q0]))
+
+    @pl.when(tile_ov)
+    def _():
+        for sq in range(n_subs):
+            qs0, qs1 = sq * sub_q, (sq + 1) * sub_q
+            q_lo = qb_ref[0, q0 + sq]
+            q_hi = qb_ref[1, q0 + sq]
+
+            for sn in range(n_nsubs):
+                s0, s1 = sn * sub_n, (sn + 1) * sub_n
+                k_lo = kb_ref[0, k0 + sn]
+                k_hi = kb_ref[1, k0 + sn]
+                overlap = (k_lo - w0 <= q_hi) & (k_hi + w0 >= q_lo)
+
+                @pl.when(overlap)
+                def _(qs0=qs0, qs1=qs1, s0=s0, s1=s1):
+                    qblk = q_ref[:, qs0:qs1]               # [OBS, sub_q]
+                    kblk = rows_ref[:obs_dim, s0:s1]       # [OBS, sub_n]
+                    mask_b = jnp.ones((qs1 - qs0, s1 - s0),
+                                      dtype=jnp.bool_)
+                    for d in range(obs_dim):  # static unroll over dims
+                        diff = (qblk[d, :][:, None]
+                                - kblk[d, :][None, :])
+                        mask_b = mask_b & (jnp.abs(diff) <= w_ref[d, 0])
+                    mask = mask_b.astype(jnp.float32)      # [sub_q, sub_n]
+                    feats = rows_ref[obs_dim:, s0:s1]      # [3A, sub_n]
+                    dots = jax.lax.dot_general(
+                        feats, mask,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # [3A, sub_q]
+                    out_ref[:, qs0:qs1] = out_ref[:, qs0:qs1] + dots
+
+
+@functools.partial(jax.jit, static_argnames=("num_actions", "q_tile",
+                                             "n_tile", "interpret",
+                                             "band_dim"))
+def box_query_moments_peraction(
+    keys: jax.Array,         # [N, D] (last column = integer action)
+    values: jax.Array,       # [N]
+    valid: jax.Array,        # [N] bool
+    obs_queries: jax.Array,  # [B, D-1] observation queries (no action)
+    half_widths: jax.Array,  # [D] (action half-width last, must be < 0.5)
+    num_actions: int = 11,
+    q_tile: int = 4096,
+    n_tile: int = 2048,
+    interpret: bool = False,
+    band_dim: int = 1,
+) -> jax.Array:
+    """[B, A, 3] moments for every action of every env from ONE 20-D
+    query per env — see :func:`_peraction_kernel`.  Exactly equal to
+    :func:`box_query_moments_grouped` on the [A, B, D] candidate batch
+    when the action lattice is integral and the action half-width is
+    < 0.5 (both pinned by tests); rows whose action column is outside
+    [0, num_actions) match nothing, like any non-contained key."""
+    n, d = keys.shape
+    b = obs_queries.shape[0]
+    obs_dim = d - 1
+    keys = keys.astype(jnp.float32)
+    values = values.astype(jnp.float32)
+    queries = obs_queries.astype(jnp.float32)
+    w = half_widths.astype(jnp.float32)
+
+    # rows sorted by the band dim; invalid rows to the end
+    sk = jnp.where(valid, keys[:, band_dim], _PAD)
+    order = jnp.argsort(sk)
+    keys_s = jnp.take(keys, order, axis=0)
+    vals_s = jnp.take(values, order)
+    valid_s = jnp.take(valid, order)
+    sk_s = jnp.take(sk, order)
+
+    qk = queries[:, band_dim]
+    qorder = jnp.argsort(qk)
+    queries_s = jnp.take(queries, qorder, axis=0)
+    qk_s = jnp.take(qk, qorder)
+
+    n_pad = _round_up(max(n, n_tile), n_tile)
+    q_pad = _round_up(max(b, q_tile), q_tile)
+
+    # feature block: feats[a*3 + m, r] = valid_r * 1[action_r == a]
+    #                                    * [1, v_r, v_r^2][m]
+    act = jnp.round(keys_s[:, -1]).astype(jnp.int32)
+    onehot = ((act[None, :] == jnp.arange(num_actions)[:, None])
+              & valid_s[None, :]).astype(jnp.float32)     # [A, N]
+    vmom = jnp.stack([jnp.ones_like(vals_s), vals_s,
+                      vals_s * vals_s])                    # [3, N]
+    feats = (onehot[:, None, :] * vmom[None, :, :]).reshape(
+        3 * num_actions, n)
+
+    rows_cat = jnp.full((obs_dim + 3 * num_actions, n_pad), _PAD,
+                        jnp.float32)
+    rows_cat = rows_cat.at[:obs_dim, :n].set(keys_s[:, :obs_dim].T)
+    rows_cat = rows_cat.at[obs_dim:, :].set(0.0)
+    rows_cat = rows_cat.at[obs_dim:, :n].set(feats)
+    q_t = jnp.full((obs_dim, q_pad), _PAD, jnp.float32).at[:, :b].set(
+        queries_s.T)
+
+    # [sub_q, sub_n] bounds Mosaic's live mask temporaries; the
+    # UNCONDITIONAL 20-dim chain keeps ~16 of them live, so 512x256 is
+    # what fits the 16M scoped-vmem ceiling (512x512 missed by 272KB).
+    sub_q = min(512, q_tile)
+    sub_n = min(256, n_tile)
+    qs_p = jnp.full((q_pad,), _PAD, jnp.float32).at[:b].set(qk_s)
+    ks_p = jnp.full((n_pad,), _PAD, jnp.float32).at[:n].set(sk_s)
+    qb = jnp.stack([qs_p[::sub_q], qs_p[sub_q - 1::sub_q]])
+    kb = jnp.stack([ks_p[::sub_n], ks_p[sub_n - 1::sub_n]])
+    w_col = w[:obs_dim].reshape(obs_dim, 1)
+    w0_arr = w[band_dim].reshape(1)
+
+    grid = (q_pad // q_tile, n_pad // n_tile)
+    out = pl.pallas_call(
+        functools.partial(_peraction_kernel, obs_dim=obs_dim,
+                          n_feats=3 * num_actions, sub_q=sub_q,
+                          sub_n=sub_n),
+        out_shape=jax.ShapeDtypeStruct((3 * num_actions, q_pad),
+                                       jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((obs_dim, q_tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((obs_dim + 3 * num_actions, n_tile),
+                         lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((obs_dim, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((3 * num_actions, q_tile),
+                               lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q_pad * n_pad * (obs_dim + 3 * num_actions),
+            bytes_accessed=(obs_dim + 3 * num_actions) * n_pad * 4
+            * (q_pad // q_tile) + 3 * num_actions * q_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q_t, rows_cat, w_col, w0_arr, qb, kb)
+
+    # [3A, q_pad] -> [B, A, 3], un-sorted
+    res = out[:, :b].reshape(num_actions, 3, b).transpose(2, 0, 1)
+    return jnp.take(res, jnp.argsort(qorder), axis=0)

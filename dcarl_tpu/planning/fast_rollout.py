@@ -881,7 +881,7 @@ def make_gated_driver_fast(sc: Scenario,
     from dcarl_tpu.config import StoreConfig
     from dcarl_tpu.core import rls as RLSmod
     from dcarl_tpu.core.store import _raw_moments, moments_to_stats
-    from dcarl_tpu.ops.pallas_store import box_query_moments_grouped
+    from dcarl_tpu.ops.pallas_store import box_query_moments_peraction
 
     scfg = store_cfg or StoreConfig()
     if use_pallas is None:
@@ -933,20 +933,15 @@ def make_gated_driver_fast(sc: Scenario,
         # --- confidence query: every action of every env in one kernel
         obs_bf = obs.T                                      # [B, 20]
         if use_pallas:
-            # action-grouped [A, B, D] batch: pre-banded on the action
-            # column, no per-step query argsort (see pallas_store
-            # .box_query_moments_grouped)
-            obs_g = jnp.broadcast_to(
-                obs_bf[None].astype(jnp.float32),
-                (num_actions, b, obs_bf.shape[1]))
-            act_col = jnp.broadcast_to(
-                jnp.arange(num_actions, dtype=jnp.float32)[:, None, None],
-                (num_actions, b, 1))
-            queries_g = jnp.concatenate([obs_g, act_col], axis=-1)
-            moments = box_query_moments_grouped(
-                store_keys, store_values, store_valid, queries_g,
-                half_widths.astype(jnp.float32)
-            ).transpose(1, 0, 2).reshape(-1, 3)
+            # ONE 20-D query per env; per-action moments come from the
+            # kernel's feats matmul (each integer-lattice row matches
+            # exactly one action — box_query_moments_peraction), an
+            # A-fold query-work reduction over the grouped batch.
+            moments = box_query_moments_peraction(
+                store_keys, store_values, store_valid,
+                obs_bf.astype(jnp.float32),
+                half_widths.astype(jnp.float32),
+                num_actions=num_actions).reshape(-1, 3)
         else:
             queries = RLSmod.candidate_keys(obs_bf, num_actions)
             flat_q = queries.reshape(-1, queries.shape[-1])

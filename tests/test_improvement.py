@@ -57,3 +57,34 @@ def test_gated_fleet_beats_rule_fleet(report):
     assert imp["collision_delta_per_kstep"] <= 0.0
     assert report["eval_gated"]["pass_rate"] >= \
         report["eval_rule"]["pass_rate"] - 1e-9
+
+
+@pytest.fixture(scope="module")
+def negative_report():
+    # Same scale as `report` but the physical collision radius is
+    # inflated to sit just inside the rule's conservative margin:
+    # candidates that claim the rule's headroom genuinely crash, and
+    # their (honestly recorded) evidence must keep the z-test shut.
+    wide = tuple(min(w * 2, 50.0) for w in DRIVING_HALF_WIDTHS[:-1]) + (0.1,)
+    cfg = demo_config(visited_times_thres=4, rl_visited_times_min=2,
+                      half_widths=wide, collision_radius=4.0)
+    return run_improvement(
+        cfg, batch_per_device=48, train_steps=250, chunk=50,
+        store_capacity_per_device=1 << 14, eval_envs=48, eval_steps=250,
+        seed=0, n_devices=1, use_pallas=False)
+
+
+def test_negative_control_bad_candidates_never_activate(negative_report):
+    """The safety half of DCARL's claim at fleet scale (lower-bound
+    selection semantics, Simulation_1/test_DCARL.py:20-28 /
+    RLS.py:135-154): when every candidate is genuinely worse than the
+    rule, activation stays ~0 and the gated fleet does not regress
+    against the pure rule fleet."""
+    imp = negative_report["improvement"]
+    # bad candidates must not be activated (tiny exploration-boundary
+    # slack allowed: < 2% of decisions)
+    assert imp["activation_fraction"] < 0.02, imp
+    # no safety regression: gated collision rate does not exceed rule's
+    assert imp["collision_delta_per_kstep"] <= 0.5, imp
+    # and no meaningful performance regression either
+    assert imp["reward_rate_ratio"] > 0.95, imp

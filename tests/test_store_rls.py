@@ -703,3 +703,52 @@ def test_active_region_cache_exact_for_in_region_queries():
         jnp.asarray(keys), jnp.asarray(vals), jnp.ones(n, bool),
         jnp.asarray(q_out), jnp.asarray(w)))
     assert full_o[:, 0].sum() >= 0  # (smoke: full store still answers)
+
+
+def test_peraction_kernel_matches_grouped_candidates():
+    """Round-4 deployment query: box_query_moments_peraction (ONE obs
+    query per env + feats-matmul action scatter) must equal the flat
+    brute reduction over the full [A, B, D] candidate batch — the
+    exactness hinges on the integer action lattice with half-width
+    < 0.5, which the driving config guarantees."""
+    rng = np.random.default_rng(31)
+    d, A, B = 21, 11, 48
+    n = 2000
+    obs = np.asarray(rng.normal(0, 5, (B, d - 1)), np.float32)
+    src = rng.integers(0, B, n)
+    keys = np.zeros((n, d), np.float32)
+    keys[:, :-1] = obs[src] + rng.normal(0, 1.0, (n, d - 1))
+    keys[:, -1] = rng.integers(0, A, n)
+    values = jnp.asarray(rng.normal(0, 1, n), jnp.float32)
+    valid = jnp.asarray(rng.random(n) < 0.7)
+    w = jnp.asarray(np.abs(rng.normal(2, 1, d)) + 1.5, jnp.float32)
+    w = w.at[-1].set(0.1)
+
+    from dcarl_tpu.core.store import _raw_moments
+    from dcarl_tpu.ops.pallas_store import box_query_moments_peraction
+
+    qg = np.concatenate([
+        np.broadcast_to(obs[None], (A, B, d - 1)),
+        np.broadcast_to(np.arange(A, dtype=np.float32)[:, None, None],
+                        (A, B, 1))], axis=-1)
+    ref = np.asarray(_raw_moments(
+        jnp.asarray(keys), values, valid,
+        jnp.asarray(qg.reshape(A * B, d)), w)
+    ).reshape(A, B, 3).transpose(1, 0, 2)
+    assert ref[..., 0].sum() > 0
+    got = np.asarray(box_query_moments_peraction(
+        jnp.asarray(keys), values, valid, jnp.asarray(obs), w,
+        num_actions=A, q_tile=32, n_tile=256, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-3)
+
+    # rows with out-of-lattice actions match nothing
+    keys2 = keys.copy()
+    keys2[:100, -1] = A + 3
+    got2 = np.asarray(box_query_moments_peraction(
+        jnp.asarray(keys2), values, valid, jnp.asarray(obs), w,
+        num_actions=A, q_tile=32, n_tile=256, interpret=True))
+    ref2 = np.asarray(_raw_moments(
+        jnp.asarray(keys2), values, valid,
+        jnp.asarray(qg.reshape(A * B, d)), w)
+    ).reshape(A, B, 3).transpose(1, 0, 2)
+    np.testing.assert_allclose(got2, ref2, atol=1e-3)
