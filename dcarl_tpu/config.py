@@ -235,6 +235,17 @@ class EnvConfig:
     pass_line_y: float = 73.7
     reward_collision: float = -100.0
     reward_stuck: float = 0.0
+    # per-step speed-shaped reward = speed_reward_scale * sqrt(v); 0
+    # selects the reference's field convention (0 per step, collision
+    # only — gym_routing/envs/cz_dqn.py:88-99)
+    speed_reward_scale: float = 0.1
+    # bonus on the pass-line crossing step.  Default 0 matches the
+    # reference scenario's reward; a positive bonus makes episode
+    # COMPLETION visible to the window-truncated n-step store values —
+    # without it, ending an episode early truncates the discounted
+    # sum, so stored evidence structurally prefers candidates that
+    # DELAY passing (measured in the round-4 pass-limited experiments).
+    reward_pass: float = 0.0
     max_episode_steps: int = 400
     reset_jitter: float = 0.1     # spawn-pose jitter half-range [m]
     # Road-departure termination: ending an episode (as a collision —

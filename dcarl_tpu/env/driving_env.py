@@ -195,7 +195,8 @@ def step(
     stuck_steps = jnp.where(slow, state.stuck_steps + 1, 0)
     stuck = stuck_steps > jnp.int32(cfg.stuck_time / cfg.dt)
 
-    reward = jnp.sqrt(v) * 0.1
+    reward = jnp.sqrt(v) * cfg.speed_reward_scale \
+        + cfg.reward_pass * passed
     reward = jnp.where(collided, cfg.reward_collision, reward)
     reward = jnp.where(stuck & ~collided, cfg.reward_stuck, reward)
 

@@ -430,16 +430,32 @@ def run_improvement_suite(
       select RLS.py:139-154, confidence 0.5) at the same scale, so the
       delta attributable to the repo's documented semantic upgrades is
       quantified.
-    * ``negative_control``  — the safety half of DCARL's claim: the
-      physical collision radius is inflated to sit just inside the
-      rule's conservative margin, so every candidate that claims the
-      rule's headroom actually crashes; its evidence is recorded
-      honestly and the z-test must keep activation ~0 with no metric
-      regression vs the pure rule fleet (lower-bound semantics,
-      Simulation_1/test_DCARL.py:20-28, at fleet scale).
+    * ``negative_control``  — the safety half of DCARL's claim, run
+      under the REFERENCE'S OWN reward convention (0 per step, -100 on
+      collision — gym_routing/envs/cz_dqn.py:88-99, via
+      ``EnvConfig.speed_reward_scale = 0``, with the reference's
+      U(-1,0) explore draw and rule_good_thres = -0.1): no candidate
+      can out-value a collision-free rule, a crashing candidate's
+      evidence is strictly worse, and the gate must stay shut
+      (activation ~0) with zero fleet regression (lower-bound
+      semantics, Simulation_1/test_DCARL.py:20-28 / RLS.py:135-154, at
+      fleet scale).  Probed-and-rejected designs are part of the
+      record (ROUND4_NOTES): inflating the PHYSICAL collision radius
+      kills every policy at spawn beyond ~2 m (no control group
+      survives), and shrinking the rule's margin under the
+      speed-shaped reward does not remove headroom — the rule picks
+      min-cost, not max-speed, paths, so candidates legitimately beat
+      it and activation is CORRECT there.
     * ``pass_limited``      — a scenario where conservatism costs
-      PASSES, not just speed (radius so large the rule brakes into
-      stuck terminations): gated recovery must show up in pass
+      PASSES, not just speed: at conservative radius 11 with a
+      300-step episode cap the rule creeps behind the crossing
+      pedestrian and TIMES OUT short of the pass line (rule pass rate
+      0 on probes), while a pass-completion bonus
+      (``EnvConfig.reward_pass``, visible inside the 30-step credit
+      window) makes episode completion part of the recorded values —
+      without it the window-truncated discounted sum structurally
+      prefers candidates that DELAY passing, which round-4 measured
+      as a gated pass collapse.  Gated recovery must show up in pass
       throughput, not merely sqrt(v) reward.
     * ``two_session``       — the cross-session lifecycle artifact
       (train -> persist -> fresh agent reloads the history -> retains
@@ -459,10 +475,16 @@ def run_improvement_suite(
         demo_config(confidence_thres=0.5, value_mode="reference",
                     select_mode="first"),
         seed=seed, **kw)
-    out["negative_control"] = run_improvement(
-        demo_config(collision_radius=4.0), seed=seed, **kw)
-    out["pass_limited"] = run_improvement(
-        demo_config(conservative_radius=11.0), seed=seed, **kw)
+    cfg_nc = demo_config(value_mode="reference", explore_low=-1.0,
+                         explore_high=0.0, rule_good_thres=-0.1)
+    cfg_nc = dataclasses.replace(
+        cfg_nc, env=dataclasses.replace(cfg_nc.env, speed_reward_scale=0.0))
+    out["negative_control"] = run_improvement(cfg_nc, seed=seed, **kw)
+    cfg_pl = demo_config(conservative_radius=11.0, n_step_window=30)
+    cfg_pl = dataclasses.replace(
+        cfg_pl, env=dataclasses.replace(cfg_pl.env, max_episode_steps=300,
+                                        reward_pass=5.0))
+    out["pass_limited"] = run_improvement(cfg_pl, seed=seed, **kw)
 
     sb = max(int(batch_per_device * session_scale), 64)
     out["two_session"] = run_two_session_improvement(

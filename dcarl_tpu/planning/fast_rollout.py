@@ -539,7 +539,8 @@ def _step_env_soa(state: FastEnvState, acc_cmd, steer_cmd, key,
     stuck_steps = jnp.where(slow, state.stuck_steps + 1, 0)
     stuck = stuck_steps > jnp.int32(cfg.stuck_time / cfg.dt)
 
-    reward = jnp.sqrt(v) * 0.1
+    reward = jnp.sqrt(v) * dtype(cfg.speed_reward_scale) \
+        + dtype(cfg.reward_pass) * passed
     reward = jnp.where(collided, dtype(cfg.reward_collision), reward)
     reward = jnp.where(stuck & ~collided, dtype(cfg.reward_stuck), reward)
 

@@ -61,13 +61,19 @@ def test_gated_fleet_beats_rule_fleet(report):
 
 @pytest.fixture(scope="module")
 def negative_report():
-    # Same scale as `report` but the physical collision radius is
-    # inflated to sit just inside the rule's conservative margin:
-    # candidates that claim the rule's headroom genuinely crash, and
-    # their (honestly recorded) evidence must keep the z-test shut.
+    # Same scale as `report` but under the REFERENCE's reward
+    # convention (0 per step, -100 on collision): no candidate can
+    # out-value a collision-free rule, a crashing one is strictly
+    # worse, and the gate must stay shut.
+    import dataclasses
+
     wide = tuple(min(w * 2, 50.0) for w in DRIVING_HALF_WIDTHS[:-1]) + (0.1,)
     cfg = demo_config(visited_times_thres=4, rl_visited_times_min=2,
-                      half_widths=wide, collision_radius=4.0)
+                      half_widths=wide, value_mode="reference",
+                      explore_low=-1.0, explore_high=0.0,
+                      rule_good_thres=-0.1)
+    cfg = dataclasses.replace(
+        cfg, env=dataclasses.replace(cfg.env, speed_reward_scale=0.0))
     return run_improvement(
         cfg, batch_per_device=48, train_steps=250, chunk=50,
         store_capacity_per_device=1 << 14, eval_envs=48, eval_steps=250,
