@@ -450,13 +450,21 @@ def run_improvement_suite(
       PASSES, not just speed: at conservative radius 11 with a
       300-step episode cap the rule creeps behind the crossing
       pedestrian and TIMES OUT short of the pass line (rule pass rate
-      0 on probes), while a pass-completion bonus
-      (``EnvConfig.reward_pass``, visible inside the 30-step credit
-      window) makes episode completion part of the recorded values —
-      without it the window-truncated discounted sum structurally
-      prefers candidates that DELAY passing, which round-4 measured
-      as a gated pass collapse.  Gated recovery must show up in pass
-      throughput, not merely sqrt(v) reward.
+      0 on probes); a pass-completion bonus
+      (``EnvConfig.reward_pass``, visible inside the credit window)
+      makes episode completion part of the recorded values — without
+      it the window-truncated discounted sum structurally prefers
+      candidates that DELAY passing, which round-4 measured as a
+      gated pass collapse at radius 11 / cap 400 (gated pass rate
+      0.001 vs rule 1.0 while gated reward rate was HIGHER).
+      Measured outcome at this config: the gate stays SHUT
+      (activation 0, gated == rule, zero regression) — the
+      conservative lower bound holds even when conservatism costs
+      every pass; the committed finding is the value-semantics trap
+      plus its mitigation knob, with recovery-by-gating left as an
+      honest open item (the z-test needs per-state evidence that a
+      candidate leads to a pass, which the speed-shaped window
+      values cannot express at this scenario's time scale).
     * ``two_session``       — the cross-session lifecycle artifact
       (train -> persist -> fresh agent reloads the history -> retains
       activation -> keeps improving), at reduced scale

@@ -1,5 +1,13 @@
 """Vehicle-life store scale: query throughput vs row count, on TPU.
 
+NOTE: rows here are synthetic corridor noise (almost no true matches),
+which is the WORST case for the per-action deployment kernel (it has
+no distance prefilter to skip work on never-matching data; on the
+realistic rollout-recorded store that bench.py uses, the gated driver
+is ~7x faster than these numbers).  The point of this sweep is the
+SCALING LAW — cost linear in rows — and the oracle parity at every
+size, both of which hold regardless of match density.
+
 The reference store grows for a vehicle's lifetime (append-only text +
 R-tree, RLS.py:185-215); its O(log N + K) tree queries degrade
 gracefully, and the TPU replacement must show ITS scaling law past the
