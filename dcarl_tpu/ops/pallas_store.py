@@ -152,11 +152,12 @@ def _sorted_kernel(q_ref, qbf_ref, rows_ref, kbf_ref, w_ref, w0_ref,
                     # d2 is the EXACT distance of the bf16-rounded
                     # vectors (products exact in f32); containment of
                     # the originals implies their distance <= dim, and
-                    # rounding moves each vector by <= 2^-9 of its
+                    # bf16's 7-bit mantissa gives unit roundoff 2^-8,
+                    # so rounding moves each vector by <= 2^-8 of its
                     # norm: margin = (sqrt(dim) + e)^2 - dim with
-                    # e = 2^-9 (|q| + |k|), padded 4x for accumulation
-                    # order.
-                    e = 0.002 * (jnp.sqrt(qn)[:, None]
+                    # e = 2^-8 (|q| + |k|) ~= 0.004 (|q| + |k|), padded
+                    # 4x purely for accumulation-order slack.
+                    e = 0.004 * (jnp.sqrt(qn)[:, None]
                                  + jnp.sqrt(kn)[None, :])
                     thresh = dim + 1.0 + 4.0 * (
                         2.0 * jnp.sqrt(jnp.float32(dim)) * e + e * e)
@@ -607,9 +608,15 @@ def box_query_moments_peraction(
 
     # feature block: feats[a*3 + m, r] = valid_r * 1[action_r == a]
     #                                    * [1, v_r, v_r^2][m]
+    # An off-lattice action column (|a - round(a)| > half-width, e.g. a
+    # corrupted/imported 3.2) matches NO candidate query in the
+    # grouped/XLA paths, so it must contribute to no action's moments
+    # here either — containment, not nearest-lattice snapping.
     act = jnp.round(keys_s[:, -1]).astype(jnp.int32)
+    on_lattice = jnp.abs(keys_s[:, -1] - jnp.round(keys_s[:, -1])) <= w[-1]
     onehot = ((act[None, :] == jnp.arange(num_actions)[:, None])
-              & valid_s[None, :]).astype(jnp.float32)     # [A, N]
+              & valid_s[None, :] & on_lattice[None, :]
+              ).astype(jnp.float32)                       # [A, N]
     vmom = jnp.stack([jnp.ones_like(vals_s), vals_s,
                       vals_s * vals_s])                    # [3, N]
     feats = (onehot[:, None, :] * vmom[None, :, :]).reshape(

@@ -851,7 +851,9 @@ def make_gated_driver_fast(sc: Scenario,
                            store_cfg=None,
                            dtype=jnp.float32,
                            use_pallas: bool | None = None,
-                           psum_axis: "str | None" = None):
+                           psum_axis: "str | None" = None,
+                           pallas_interpret: bool = False,
+                           with_query_offset: bool = False):
     """Lane-major confidence-gated driver — the reference's deployment
     mode (DCARL_agent.py:35-43 predict loop + RLS.act_test,
     RLS.py:120-157) as one fused program over [B] lockstep envs:
@@ -876,6 +878,16 @@ def make_gated_driver_fast(sc: Scenario,
       each [S, B]; ``gated_action`` is the raw z-test output g (0 =
       fell back to the rule pick), ``executed_action`` the trajectory
       index actually followed.
+
+    ``with_query_offset=True`` appends a ``query_offset`` [state_dim]
+    argument to ``run_fn``: it is ADDED to every observation before the
+    store query (keys and statistics untouched otherwise).  This is the
+    vehicle-life frame alignment: the scenario dynamics are
+    translation-invariant, so a fleet operating at world position X
+    runs in the local frame while its queries address the world-frame
+    history at ``local + offset(X)`` — the offset drifts over the
+    vehicle's life without recompiling the driver
+    (dcarl_tpu/workingset.py).
     """
     import jax as _jax
 
@@ -911,7 +923,8 @@ def make_gated_driver_fast(sc: Scenario,
             "an exact-match width (< 0.5, e.g. the reference's 0.1)")
     half_widths = jnp.asarray(hw, dtype)
 
-    def one_step(carry, key, store_keys, store_values, store_valid):
+    def one_step(carry, key, store_keys, store_values, store_valid,
+                 query_offset=None):
         state = carry
         obs = _obs_ori_soa(state, idx)                      # [20, B]
         b = obs.shape[1]
@@ -933,6 +946,26 @@ def make_gated_driver_fast(sc: Scenario,
 
         # --- confidence query: every action of every env in one kernel
         obs_bf = obs.T                                      # [B, 20]
+        if query_offset is not None:
+            # world-frame alignment (see with_query_offset): queries
+            # shift into the history's frame; planning/control stay in
+            # the local frame
+            obs_bf = obs_bf + query_offset[None, :].astype(obs_bf.dtype)
+        if psum_axis is not None:
+            # Sharded store + sharded envs: every env's z-test must see
+            # the GLOBAL store (the single R-tree, RLS.py:161-181), so
+            # the (small) query batch is all-gathered over the mesh,
+            # each shard computes partial moments for the FULL global
+            # batch against its local rows, the psum below combines
+            # per-query partials across shards, and the local env block
+            # is sliced back out.  A bare psum of local-batch moments
+            # would instead sum moments of DIFFERENT envs that share a
+            # local index — chimeric statistics whenever envs differ
+            # across shards (any jittered run).
+            obs_q = _jax.lax.all_gather(obs_bf, psum_axis, axis=0,
+                                        tiled=True)         # [B_glob, 20]
+        else:
+            obs_q = obs_bf
         if use_pallas:
             # ONE 20-D query per env; per-action moments come from the
             # kernel's feats matmul (each integer-lattice row matches
@@ -940,20 +973,23 @@ def make_gated_driver_fast(sc: Scenario,
             # A-fold query-work reduction over the grouped batch.
             moments = box_query_moments_peraction(
                 store_keys, store_values, store_valid,
-                obs_bf.astype(jnp.float32),
+                obs_q.astype(jnp.float32),
                 half_widths.astype(jnp.float32),
-                num_actions=num_actions).reshape(-1, 3)
+                num_actions=num_actions,
+                interpret=pallas_interpret).reshape(-1, 3)
         else:
-            queries = RLSmod.candidate_keys(obs_bf, num_actions)
+            queries = RLSmod.candidate_keys(obs_q, num_actions)
             flat_q = queries.reshape(-1, queries.shape[-1])
             moments = _raw_moments(store_keys.astype(dtype),
                                    store_values.astype(dtype),
                                    store_valid, flat_q.astype(dtype),
                                    half_widths)
         if psum_axis is not None:
-            # sharded store: partial moments -> global statistics, the
-            # single global R-tree (RLS.py:161-181) laid over the mesh
             moments = _jax.lax.psum(moments, psum_axis)
+            shard_idx = _jax.lax.axis_index(psum_axis)
+            moments = _jax.lax.dynamic_slice_in_dim(
+                moments, shard_idx * (b * num_actions), b * num_actions,
+                axis=0)
         qs = moments_to_stats(moments)
         stats = RLSmod.ActionStats(
             count=qs.count.reshape(b, num_actions).astype(npdt),
@@ -987,12 +1023,22 @@ def make_gated_driver_fast(sc: Scenario,
         states = jax.vmap(lambda k: de.reset(sa, k, env_cfg))(keys)
         return _state_to_lane_major(states)
 
-    @jax.jit
-    def run_fn(carry, step_keys, store_keys, store_values, store_valid):
-        def body(c, k):
-            return one_step(c, k, store_keys, store_values, store_valid)
+    if with_query_offset:
+        @jax.jit
+        def run_fn(carry, step_keys, store_keys, store_values, store_valid,
+                   query_offset):
+            def body(c, k):
+                return one_step(c, k, store_keys, store_values, store_valid,
+                                query_offset)
 
-        return jax.lax.scan(body, carry, step_keys)
+            return jax.lax.scan(body, carry, step_keys)
+    else:
+        @jax.jit
+        def run_fn(carry, step_keys, store_keys, store_values, store_valid):
+            def body(c, k):
+                return one_step(c, k, store_keys, store_values, store_valid)
+
+            return jax.lax.scan(body, carry, step_keys)
 
     return init_fn, run_fn
 
@@ -1004,32 +1050,41 @@ def make_gated_driver_sharded(sc: Scenario,
                               wcfg: WerlingConfig = WerlingConfig(),
                               store_cfg=None,
                               dtype=jnp.float32,
-                              use_pallas: bool | None = None):
+                              use_pallas: bool | None = None,
+                              pallas_interpret: bool = False):
     """Multi-chip deployment form of :func:`make_gated_driver_fast`.
 
     Envs shard over ``axis`` (pure data parallelism, like
     :func:`shard_rule_driver`); the confidence store ALSO shards over
-    the same devices (rows axis), and each decision tick ``psum``s the
-    per-shard partial moments so every env's Welch z-test sees the
-    GLOBAL statistics — the reference's single global R-tree
-    (RLS.py:161-181) laid over the mesh, in inference mode
-    (RLS.act_test, RLS.py:120-157).  The only collective per step is
-    that one [Q, 3] psum; everything else partitions cleanly.
+    the same devices (rows axis).  Each decision tick all-gathers the
+    query batch over the mesh, computes per-shard partial moments for
+    the FULL global batch against the local store rows, ``psum``s the
+    partials so every env's Welch z-test sees the GLOBAL statistics —
+    the reference's single global R-tree (RLS.py:161-181) laid over
+    the mesh, in inference mode (RLS.act_test, RLS.py:120-157) — and
+    slices the local env block back out.  The per-step collectives are
+    one [B_local, 20] all-gather + one [B_global*A, 3] psum;
+    everything else partitions cleanly.
 
     Returns (init_fn, run_fn) with the same call signatures as the
     single-device driver; ``keys``/env batch and store rows must divide
-    the mesh size.  With ``EnvConfig.reset_jitter = 0`` results are
-    bit-identical to the 1-device driver on the concatenated batch
-    (asserted by ``__graft_entry__.dryrun_multichip`` and
-    ``tests/test_sharded_driver.py``); with jitter, reset draws are
-    blocked per shard, so runs are distribution-equivalent.
+    the mesh size.  Results match the 1-device driver on the
+    concatenated batch bit-for-bit on the integer gate outputs and to
+    f32 reduction-order tolerance on the moments, INCLUDING runs whose
+    envs differ across shards (jittered init uses per-env keys) —
+    asserted by ``__graft_entry__.dryrun_multichip`` and
+    ``tests/test_sharded_driver.py``.  Mid-run auto-resets draw jitter
+    in per-shard blocks, so long jittered runs are
+    distribution-equivalent (the statistics each env sees stay exact
+    either way).
     """
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     init_fn, run_fn = make_gated_driver_fast(
         sc, env_cfg, wcfg, store_cfg=store_cfg, dtype=dtype,
-        use_pallas=use_pallas, psum_axis=axis)
+        use_pallas=use_pallas, psum_axis=axis,
+        pallas_interpret=pallas_interpret)
 
     def _lane_p(x):
         return P(*([None] * (max(getattr(x, "ndim", 1), 1) - 1) + [axis]))

@@ -98,6 +98,12 @@ def make_trainer(
     step_fn(state, step_idx) -> (TrainState, StepMetrics)
     """
     s_shards = mesh.shape[axis]
+    if cfg.store.value_mode == "episode" \
+            and cfg.store.n_step_window < cfg.env.max_episode_steps:
+        raise ValueError(
+            f"value_mode='episode' needs n_step_window "
+            f"({cfg.store.n_step_window}) >= max_episode_steps "
+            f"({cfg.env.max_episode_steps})")
     sc = scenario or t_intersection(cfg.env)
     sa = de.scenario_to_device(sc)
     in_idx = de.in_state_indices(sc)

@@ -92,11 +92,30 @@ def make_trainer_fast(
     pallas_interpret: bool = False,
     backfill_budget_per_step: Optional[int] = None,
     dense_store_writes: bool = False,
+    init_step_offset: bool = False,
     dtype=jnp.float32,
 ):
     """Build (init_fn, step_fn, learner) for the lane-major integrated
-    loop.  Same contract as :func:`dcarl_tpu.train.make_trainer`."""
+    loop.  Same contract as :func:`dcarl_tpu.train.make_trainer`.
+
+    ``init_step_offset`` staggers each env's FIRST episode by a random
+    initial ``step_count`` in [0, max_episode_steps): without it, a
+    lockstep fleet's timeouts arrive in synchronized waves (every env
+    terminates the same step), which in ``value_mode="episode"`` — one
+    record per episode STEP, all emitted at the episode's end — would
+    dump batch x episode-length records into a single step's insert
+    budget.  The offset episodes end at an artificial (early) boundary,
+    so their records carry randomly truncated returns; in episode mode
+    they are masked out (the warmup filter below) and the store only
+    ever sees full-episode suffix returns."""
     s_shards = mesh.shape[axis]
+    if cfg.store.value_mode == "episode" \
+            and cfg.store.n_step_window < cfg.env.max_episode_steps:
+        raise ValueError(
+            f"value_mode='episode' needs n_step_window "
+            f"({cfg.store.n_step_window}) >= max_episode_steps "
+            f"({cfg.env.max_episode_steps}) so every record's episode "
+            "boundary is inside the window")
     sc = scenario or t_intersection(cfg.env)
     sa = de.scenario_to_device(sc, dtype)
     in_idx = de.in_state_indices(sc)
@@ -136,6 +155,11 @@ def make_trainer_fast(
         env_bf = jax.vmap(jax.vmap(
             lambda k: de.reset(sa, k, cfg.env)))(env_keys)
         env = jax.vmap(FR._state_to_lane_major)(env_bf)
+        if init_step_offset:
+            k_off = jax.random.fold_in(k_env, 1)
+            env = env._replace(step_count=jax.random.randint(
+                k_off, (s_shards, batch_per_device), 0,
+                cfg.env.max_episode_steps, jnp.int32))
         obs_ori = jax.vmap(lambda st: FR._obs_ori_soa(st, in_idx))(env)
 
         params = net.init(k_net, jnp.zeros((1, obs_dim)))
@@ -220,21 +244,33 @@ def make_trainer_fast(
         n_local = local_store.keys.shape[0]
         valid = (jax.lax.broadcasted_iota(jnp.int32, (n_local, 1), 0)
                  .squeeze(-1) < local_store.size)
+        # Every env's gate must see the GLOBAL store (the reference's
+        # single R-tree): all-gather the query batch over the mesh,
+        # compute partial moments for the full global batch against the
+        # LOCAL store shard, psum the per-query partials, slice the
+        # local env block back out.  (A bare psum of local-batch
+        # moments would mix moments of DIFFERENT envs sharing a local
+        # index — chimeric statistics whenever envs differ across
+        # shards.)
+        obs_q = jax.lax.all_gather(obs_bf, axis, axis=0, tiled=True)
+        bg = obs_q.shape[0]                 # global batch
         if use_pallas:
             from dcarl_tpu.ops.pallas_store import box_query_moments_grouped
             queries_g = jnp.concatenate(
-                [obs_bf[None].astype(jnp.float32),
-                 jnp.zeros((1, b, 1), jnp.float32)], axis=-1)  # [1, B, D]
+                [obs_q[None].astype(jnp.float32),
+                 jnp.zeros((1, bg, 1), jnp.float32)], axis=-1)  # [1, Bg, D]
             moments = box_query_moments_grouped(
                 local_store.keys, local_store.values, valid,
                 queries_g, half_widths,
-                interpret=pallas_interpret)[0]          # [B, 3]
+                interpret=pallas_interpret)[0]          # [Bg, 3]
         else:
             flat_q = RLS.state_with_action(
-                obs_bf, jnp.zeros((b,), obs_bf.dtype))  # [B, D]
+                obs_q, jnp.zeros((bg,), obs_q.dtype))   # [Bg, D]
             moments = _raw_moments(local_store.keys, local_store.values,
                                    valid, flat_q, half_widths)
         moments = jax.lax.psum(moments, axis)
+        moments = jax.lax.dynamic_slice_in_dim(
+            moments, jax.lax.axis_index(axis) * b, b, axis=0)
         qstats = moments_to_stats(moments)
         # rule-only stats in slot 0; act_train reads only [..., 0]
         stats = RLS.ActionStats(
@@ -279,6 +315,16 @@ def make_trainer_fast(
         bufs, recs = RLS.traj_push_lane(
             state.traj_obs[0], state.traj_act[0], state.traj_rew[0],
             state.traj_len[0], obs, env_action, reward, done, scfg)
+        if scfg.value_mode == "episode":
+            # Warmup filter: an env whose buffer holds fewer entries
+            # than its episode's step count started mid-episode (the
+            # init_step_offset stagger) — its artificial early boundary
+            # would record randomly truncated returns, so its records
+            # are dropped.  For aligned envs length == step_count
+            # always (both count from the episode start), so this is a
+            # no-op without offsets.
+            on_time = state.traj_len[0] == state.env.step_count[0]
+            recs = recs._replace(valid=recs.valid & on_time[None, :])
         # Terminal backfills are valid only where an episode ended this
         # step (~B/episode_len rows of the [B, W] block); scatter/write
         # cost is proportional to rows PROCESSED, not rows valid, so a
