@@ -76,6 +76,18 @@ class StoreConfig:
     #   credit signal a dense shaped reward (e.g. the driving env's
     #   sqrt(v)*0.1) needs so that activation reflects closed-loop
     #   outcome, not the current speed.
+    # "episode" — every record gets the (gamma-discounted; use
+    #   gamma=1.0 for the reference's undiscounted convention) suffix
+    #   return to the EPISODE boundary — the whole-episode semantics of
+    #   the reference's collection loop (dqn_value_collect.py:128-145),
+    #   which window-truncated values cannot express (a candidate that
+    #   PASSES ends the episode and truncates the window sum, so
+    #   truncated values structurally prefer pass-delaying candidates —
+    #   measured in the round-4 pass_limited arm).  Mechanically the
+    #   same suffix-sum math as "nstep" with records emitted only at
+    #   episode end; requires ``n_step_window >=
+    #   EnvConfig.max_episode_steps`` so no entry can leave the window
+    #   before its episode's end is known (trainers validate this).
     value_mode: str = "reference"
     # Among candidates passing the z-test: "first" returns the lowest
     # index (the reference's ascending-loop return, RLS.py:139-154 —
@@ -122,7 +134,7 @@ def driving_store_config(**overrides) -> "StoreConfig":
         half_widths=DRIVING_HALF_WIDTHS,
     )
     base.update(overrides)
-    if base.get("value_mode") == "nstep":
+    if base.get("value_mode") in ("nstep", "episode"):
         # n-step values are discounted sums over the window: rescale
         # the per-step gate constants by the window's discount mass
         # sum_{i<W} gamma^i (only where the caller didn't override).

@@ -223,14 +223,22 @@ def traj_buffer_push(
     new_reward = rew_shift.at[pos].set(reward)
     length = jnp.minimum(buf.length + 1, w)
 
-    flush_valid = full  # appending onto a full window pops one record
+    # appending onto a full window pops one record (never fires in
+    # episode mode: the window covers whole episodes by contract)
+    flush_valid = full & (cfg.value_mode != "episode")
 
     idx = jnp.arange(w)
-    if cfg.value_mode == "nstep":
+    if cfg.value_mode in ("nstep", "episode"):
         # Discounted window return from each entry onward
         # (StoreConfig.value_mode): steady flush = popped reward + the
         # discounted sum over the kept window; backfill entry i =
         # sum_{j>=i} gamma^(j-i) * r_j up to the episode end.
+        # "episode" mode is the same suffix-sum math with the window
+        # sized to cover whole episodes (n_step_window >=
+        # max_episode_steps, validated by the trainers): the steady
+        # flush then never fires and every record is a suffix return to
+        # the EPISODE boundary — the reference collection loop's
+        # whole-episode value semantics (dqn_value_collect.py:128-145).
         g = jnp.asarray(cfg.gamma, new_reward.dtype)
         in_ep = (idx < length).astype(new_reward.dtype)
         flushed_reward = flushed_reward + jnp.sum(
@@ -317,12 +325,20 @@ def traj_push_lane(
     action = action.astype(buf_act.dtype)
 
     full = length >= w                                    # [B]
-    roll_obs = jnp.concatenate([buf_obs[1:], buf_obs[:1]], axis=0)
-    roll_act = jnp.concatenate([buf_act[1:], buf_act[:1]], axis=0)
-    roll_rew = jnp.concatenate([buf_rew[1:], buf_rew[:1]], axis=0)
-    obs_shift = jnp.where(full[None, None, :], roll_obs, buf_obs)
-    act_shift = jnp.where(full[None, :], roll_act, buf_act)
-    rew_shift = jnp.where(full[None, :], roll_rew, buf_rew)
+    if cfg.value_mode == "episode":
+        # Episodes always end (done/timeout) before the window fills
+        # (n_step_window >= max_episode_steps, trainer-validated), so
+        # the buffer can never be full at a push: skip the roll — at
+        # W ~ episode scale the [W, D, B] roll traffic would otherwise
+        # dominate the push.
+        obs_shift, act_shift, rew_shift = buf_obs, buf_act, buf_rew
+    else:
+        roll_obs = jnp.concatenate([buf_obs[1:], buf_obs[:1]], axis=0)
+        roll_act = jnp.concatenate([buf_act[1:], buf_act[:1]], axis=0)
+        roll_rew = jnp.concatenate([buf_rew[1:], buf_rew[:1]], axis=0)
+        obs_shift = jnp.where(full[None, None, :], roll_obs, buf_obs)
+        act_shift = jnp.where(full[None, :], roll_act, buf_act)
+        rew_shift = jnp.where(full[None, :], roll_rew, buf_rew)
 
     # the rolled-out oldest entry (pre-shift slot 0) flushes below
     flushed_obs = buf_obs[0]                              # [D, B]
@@ -337,9 +353,9 @@ def traj_push_lane(
     new_rew = jnp.where(oh, reward[None, :], rew_shift)
     length2 = jnp.minimum(length + 1, w)
 
-    flush_valid = full
+    flush_valid = full & (cfg.value_mode != "episode")
     idx = iota[:, None]                                   # [W, 1]
-    if cfg.value_mode == "nstep":
+    if cfg.value_mode in ("nstep", "episode"):
         g = jnp.asarray(cfg.gamma, dt)
         in_ep = (idx < length2[None, :]).astype(dt)       # [W, B]
         flushed_reward = flushed_reward + jnp.sum(

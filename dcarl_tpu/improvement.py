@@ -96,12 +96,15 @@ def train_store(
     seed: int = 0,
     n_devices: int = 1,
     use_pallas: Optional[bool] = None,
+    **trainer_kwargs,
 ) -> Tuple[Dict[str, np.ndarray], Dict[str, list]]:
     """Run the integrated trainer from an empty store.
 
     Returns (store, history): ``store`` holds the merged
     keys/values/valid arrays of every shard; ``history`` has per-chunk
     means of the training metrics (store_rows, rule_fraction, ...).
+    ``trainer_kwargs`` forward to :func:`make_trainer_fast`
+    (backfill_budget_per_step, init_step_offset, ...).
     """
     mesh = make_mesh("env", jax.devices()[:n_devices])
     init_fn, _, _, run_factory = make_trainer_fast(
@@ -110,6 +113,7 @@ def train_store(
         store_capacity_per_device=store_capacity_per_device,
         replay_capacity_per_device=store_capacity_per_device,
         use_pallas=use_pallas,
+        **trainer_kwargs,
     )
     run_fn = run_factory(chunk)
     state = init_fn(seed=seed)
@@ -197,6 +201,12 @@ def evaluate_gated(
     }
 
 
+def _ratio(num: float, den: float) -> "float | None":
+    """num/den, or None on a zero denominator — committed artifacts
+    must stay strict JSON (no Infinity literals)."""
+    return num / den if den else None
+
+
 def run_improvement(
     cfg: Optional[DCARLConfig] = None,
     batch_per_device: int = 256,
@@ -208,13 +218,15 @@ def run_improvement(
     seed: int = 0,
     n_devices: int = 1,
     use_pallas: Optional[bool] = None,
+    **trainer_kwargs,
 ) -> Dict:
     """The full experiment.  Returns a JSON-serializable report."""
     cfg = cfg or demo_config()
     store, history = train_store(
         cfg, batch_per_device=batch_per_device, steps=train_steps,
         chunk=chunk, store_capacity_per_device=store_capacity_per_device,
-        seed=seed, n_devices=n_devices, use_pallas=use_pallas)
+        seed=seed, n_devices=n_devices, use_pallas=use_pallas,
+        **trainer_kwargs)
 
     rule = evaluate_gated(cfg, None, n_envs=eval_envs, n_steps=eval_steps,
                           seed=seed + 100, use_pallas=use_pallas,
@@ -242,14 +254,15 @@ def run_improvement(
         "eval_rule": rule,
         "eval_gated": gated,
         "improvement": {
-            "reward_rate_ratio": gated["mean_step_reward"]
-            / rule["mean_step_reward"]
-            if rule["mean_step_reward"] else float("inf"),
+            # Ratios with a zero denominator serialize as null (NOT
+            # Infinity, which is invalid strict JSON): the deltas and
+            # the raw eval blocks carry the information.
+            "reward_rate_ratio": _ratio(gated["mean_step_reward"],
+                                        rule["mean_step_reward"]),
             "reward_rate_delta": gated["mean_step_reward"]
             - rule["mean_step_reward"],
-            "pass_throughput_ratio": gated["passes_per_kstep"]
-            / rule["passes_per_kstep"]
-            if rule["passes_per_kstep"] else float("inf"),
+            "pass_throughput_ratio": _ratio(gated["passes_per_kstep"],
+                                            rule["passes_per_kstep"]),
             "collision_delta_per_kstep": gated["collisions_per_kstep"]
             - rule["collisions_per_kstep"],
             "activation_fraction": gated["activation_fraction"],
@@ -299,10 +312,14 @@ def train_store_sessioned(
         sess.mark_synced(state)
 
     # Spool cadence must beat the ring: <= capacity inserts between
-    # spools (StoreSpooler contract).  Worst case ~2*batch slots/step
-    # (flush + full terminal backfill), so cap the scan length.
+    # spools (StoreSpooler contract).  The TRUE per-step worst case is
+    # batch flushes + batch * n_step_window terminal backfills (mass
+    # terminations, e.g. a collision-heavy control arm), so the scan
+    # length is capped by that bound — an average-case estimate could
+    # let ring_delta_slots overflow mid-run and kill the session.
+    worst_per_step = batch_per_device * (1 + cfg.store.n_step_window)
     sub_chunk = max(1, min(chunk, store_capacity_per_device
-                           // (2 * batch_per_device)))
+                           // worst_per_step))
     run_fn = sess.run_factory(sub_chunk)
     history: Dict[str, list] = {}
     key = jax.random.PRNGKey(seed + 1)
@@ -493,6 +510,24 @@ def run_improvement_suite(
         cfg_pl, env=dataclasses.replace(cfg_pl.env, max_episode_steps=300,
                                         reward_pass=5.0))
     out["pass_limited"] = run_improvement(cfg_pl, seed=seed, **kw)
+    # The episode-return answer to the pass-delay trap: whole-episode
+    # suffix values (value_mode="episode", undiscounted like the
+    # reference's collection loop) make "leads to a pass" expressible —
+    # the pass bonus and the episode's end both land in every record's
+    # value, so a candidate that completes the route can out-value a
+    # rule that creeps to timeout.  init_step_offset staggers the
+    # fleet's first episodes (synchronized timeout waves would dump
+    # batch x episode-length records into one insert budget) and the
+    # offset episodes' truncated-return records are masked out.
+    cfg_ple = demo_config(conservative_radius=11.0, value_mode="episode",
+                          gamma=1.0, n_step_window=300)
+    cfg_ple = dataclasses.replace(
+        cfg_ple, env=dataclasses.replace(cfg_ple.env, max_episode_steps=300,
+                                         reward_pass=5.0))
+    out["pass_limited_episode"] = run_improvement(
+        cfg_ple, seed=seed,
+        backfill_budget_per_step=4 * batch_per_device,
+        init_step_offset=True, **kw)
 
     sb = max(int(batch_per_device * session_scale), 64)
     out["two_session"] = run_two_session_improvement(
@@ -522,6 +557,17 @@ def run_improvement_suite(
             out["pass_limited"]["eval_gated"]["pass_rate"],
         "pass_limited_pass_throughput_ratio":
             out["pass_limited"]["improvement"]["pass_throughput_ratio"],
+        "pass_limited_episode_rule_pass_rate":
+            out["pass_limited_episode"]["eval_rule"]["pass_rate"],
+        "pass_limited_episode_gated_pass_rate":
+            out["pass_limited_episode"]["eval_gated"]["pass_rate"],
+        "pass_limited_episode_activation":
+            out["pass_limited_episode"]["improvement"]
+            ["activation_fraction"],
+        "pass_limited_episode_passes_per_kstep_gated":
+            out["pass_limited_episode"]["eval_gated"]["passes_per_kstep"],
+        "pass_limited_episode_passes_per_kstep_rule":
+            out["pass_limited_episode"]["eval_rule"]["passes_per_kstep"],
         "two_session_improvement_b":
             out["two_session"]["improvement_b"],
         "two_session_activation_retained":

@@ -94,3 +94,34 @@ def test_negative_control_bad_candidates_never_activate(negative_report):
     assert imp["collision_delta_per_kstep"] <= 0.5, imp
     # and no meaningful performance regression either
     assert imp["reward_rate_ratio"] > 0.95, imp
+
+
+def test_episode_value_mode_trains_and_deploys():
+    """The episode-return write path (value_mode='episode': suffix
+    returns to the episode boundary, the reference collection loop's
+    whole-episode semantics) through the FULL loop at CPU scale:
+    staggered first episodes are masked, the store fills with
+    full-episode values, and the gated fleet deploys against it.  The
+    pass-recovery measurement at scale is the committed
+    IMPROVEMENT.json pass_limited_episode arm."""
+    import dataclasses
+
+    wide = tuple(min(w * 2, 50.0) for w in DRIVING_HALF_WIDTHS[:-1]) + (0.1,)
+    cfg = demo_config(visited_times_thres=4, rl_visited_times_min=2,
+                      half_widths=wide, value_mode="episode", gamma=1.0,
+                      n_step_window=60)
+    cfg = dataclasses.replace(
+        cfg, env=dataclasses.replace(cfg.env, max_episode_steps=60,
+                                     reward_pass=2.0))
+    report = run_improvement(
+        cfg, batch_per_device=48, train_steps=200, chunk=50,
+        store_capacity_per_device=1 << 14, eval_envs=32, eval_steps=120,
+        seed=0, n_devices=1, use_pallas=False,
+        backfill_budget_per_step=192, init_step_offset=True)
+    # store fills with (masked-warmup) full-episode records
+    assert report["train"]["store_rows"] > 500
+    # records are whole-episode suffix returns: with gamma=1 and the
+    # env's nonnegative shaped reward every stored value is >= 0 and
+    # the per-episode first entry carries the episode total
+    assert report["train"]["final_rule_fraction"] < 1.0
+    assert report["eval_rule"]["activation_fraction"] == 0.0

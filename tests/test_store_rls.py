@@ -752,3 +752,142 @@ def test_peraction_kernel_matches_grouped_candidates():
         jnp.asarray(qg.reshape(A * B, d)), w)
     ).reshape(A, B, 3).transpose(1, 0, 2)
     np.testing.assert_allclose(got2, ref2, atol=1e-3)
+
+
+def test_trajectory_buffer_episode_mode():
+    """value_mode='episode': NO steady flush ever fires; at episode end
+    every entry carries the discounted suffix return to the EPISODE
+    boundary (the whole-episode semantics of dqn_value_collect.py:
+    128-145) — with gamma=1 the undiscounted episode suffix return."""
+    rng = np.random.default_rng(11)
+    # window covers the longest episode (the trainer-validated contract)
+    cfg = StoreConfig(value_mode="episode", gamma=1.0, n_step_window=20)
+    obs_dim = 3
+    buf = R.traj_buffer_init(cfg.n_step_window, obs_dim)
+
+    episode = []
+    got, expect = [], []
+    for step in range(50):
+        obs = rng.normal(0, 1, obs_dim).astype(np.float32)
+        action = float(rng.integers(0, 8))
+        rew = float(rng.normal(0, 1))
+        done = step in (14, 20, 38, 49)  # episodes of length 15, 6, 18, 11
+        episode.append((obs, action, rew))
+
+        buf, recs = R.traj_buffer_push(
+            buf, jnp.asarray(obs), jnp.asarray(action), jnp.asarray(rew),
+            jnp.asarray(done), cfg)
+        valid = np.asarray(recs.valid)
+        assert not valid[0], "episode mode must never emit a steady flush"
+        for i in np.where(valid)[0]:
+            got.append((tuple(np.asarray(recs.keys[i])),
+                        float(recs.values[i])))
+        if done:
+            rews = [r for (_, _, r) in episode]
+            for i, (o, a, _) in enumerate(episode):
+                expect.append((tuple(o) + (a,), sum(rews[i:])))
+            episode = []
+
+    assert len(got) == len(expect) and len(got) == 50
+    for (gk, gv), (ok, ov) in zip(got, expect):
+        np.testing.assert_allclose(gk, ok, atol=1e-5)
+        np.testing.assert_allclose(gv, ov, rtol=1e-5, atol=1e-5)
+
+
+def test_traj_push_lane_episode_matches_per_env():
+    """Lane-major episode-mode push is bitwise-equal to the vmapped
+    per-env implementation (the same pin as the nstep/reference modes,
+    extended to the no-roll episode branch)."""
+    rng = np.random.default_rng(5)
+    cfg = StoreConfig(value_mode="episode", gamma=1.0, n_step_window=12)
+    w, d, b = cfg.n_step_window, 3, 4
+    buf_obs = jnp.zeros((w, d, b))
+    buf_act = jnp.zeros((w, b))
+    buf_rew = jnp.zeros((w, b))
+    length = jnp.zeros((b,), jnp.int32)
+
+    vm_push = jax.vmap(
+        lambda bo, ba, br, ln, o, a, r, dn: R.traj_buffer_push(
+            R.TrajectoryBuffer(bo, ba, br, ln), o, a, r, dn, cfg))
+    vm_obs = jnp.zeros((b, w, d))
+    vm_act = jnp.zeros((b, w))
+    vm_rew = jnp.zeros((b, w))
+    vm_len = jnp.zeros((b,), jnp.int32)
+
+    since_done = np.zeros(b, int)
+    for step in range(30):
+        obs = jnp.asarray(rng.normal(0, 1, (d, b)), jnp.float32)
+        act = jnp.asarray(rng.integers(0, 8, b), jnp.float32)
+        rew = jnp.asarray(rng.normal(0, 1, b), jnp.float32)
+        # episode-mode contract: no episode may outlive the window —
+        # random dones plus a timeout at length w - 1
+        since_done += 1
+        done_np = (rng.random(b) < 0.15) | (since_done >= w - 1)
+        since_done[done_np] = 0
+        done = jnp.asarray(done_np)
+
+        (buf_obs, buf_act, buf_rew, length), lane = R.traj_push_lane(
+            buf_obs, buf_act, buf_rew, length, obs, act, rew, done, cfg)
+        bufs, recs = vm_push(vm_obs, vm_act, vm_rew, vm_len,
+                             obs.T, act, rew, done)
+        vm_obs, vm_act, vm_rew, vm_len = (bufs.obs, bufs.action,
+                                          bufs.reward, bufs.length)
+
+        np.testing.assert_array_equal(np.asarray(lane.valid),
+                                      np.asarray(recs.valid).T)
+        np.testing.assert_array_equal(
+            np.asarray(lane.keys), np.asarray(recs.keys).transpose(1, 2, 0))
+        np.testing.assert_array_equal(np.asarray(lane.values),
+                                      np.asarray(recs.values).T)
+        np.testing.assert_array_equal(length, vm_len)
+
+
+def test_episode_mode_trainer_validation_and_warmup_mask():
+    """make_trainer_fast rejects an undersized window; with
+    init_step_offset the staggered first episodes are masked (no record
+    from an offset episode reaches the store) and later full episodes
+    populate it."""
+    from dcarl_tpu.config import (DCARLConfig, DQNConfig, EnvConfig,
+                                  driving_store_config)
+    from dcarl_tpu.parallel.mesh import make_mesh
+    from dcarl_tpu.train_fast import make_trainer_fast
+
+    mesh = make_mesh("env", jax.devices()[:1])
+    env = EnvConfig(max_episode_steps=10, reset_jitter=0.05)
+    bad = DCARLConfig(env=env, store=driving_store_config(
+        value_mode="episode", n_step_window=5),
+        dqn=DQNConfig(batch_size=4, replay_capacity=128))
+    with pytest.raises(ValueError, match="episode"):
+        make_trainer_fast(mesh, "env", bad, batch_per_device=4,
+                          store_capacity_per_device=1 << 10,
+                          replay_capacity_per_device=128, use_pallas=False)
+
+    cfg = DCARLConfig(env=env, store=driving_store_config(
+        value_mode="episode", gamma=1.0, n_step_window=10,
+        visited_times_thres=3, rl_visited_times_min=2),
+        dqn=DQNConfig(batch_size=4, replay_capacity=128))
+    init_fn, step_fn, _, run_factory = make_trainer_fast(
+        mesh, "env", cfg, batch_per_device=6,
+        store_capacity_per_device=1 << 10,
+        replay_capacity_per_device=128, use_pallas=False,
+        init_step_offset=True)
+    state = init_fn(seed=0)
+    offsets0 = np.asarray(state.env.step_count)[0]
+    assert np.unique(offsets0).size > 1, "offsets must stagger episodes"
+
+    run_fn = run_factory(25)
+    state, metrics = run_fn(state, jax.random.PRNGKey(1))
+    m = {k: np.asarray(v) for k, v in metrics._asdict().items()}
+    rows = m["store_rows"]
+    # warmup (offset) episodes end within the first max_episode_steps
+    # ticks and must insert nothing
+    first_done_wave = rows[: 3]
+    assert (first_done_wave == 0).all(), rows
+    # after warmup, full episodes emit one record per step of their
+    # length at each boundary
+    assert rows[-1] > 0, rows
+    # every store row must carry a FULL episode's suffix return: with
+    # gamma=1 and reward ~ sqrt(v)*0.1 >= 0, the first entry of each
+    # episode carries the whole-episode sum >= any other entry of it
+    sizes = np.asarray(state.store_size)[0]
+    assert sizes == rows[-1]
