@@ -286,6 +286,7 @@ def train_store_sessioned(
     seed: int = 0,
     import_history_from: "Tuple[str, str] | None" = None,
     use_pallas: Optional[bool] = None,
+    backfill_budget_per_step: Optional[int] = None,
 ) -> Tuple[Dict[str, np.ndarray], Dict[str, list], Dict[str, int]]:
     """`train_store` through the cross-session lifecycle
     (dcarl_tpu/session.py): checkpoints + append-only text history, and
@@ -301,7 +302,8 @@ def train_store_sessioned(
         batch_per_device=batch_per_device,
         store_capacity_per_device=store_capacity_per_device,
         replay_capacity_per_device=store_capacity_per_device,
-        use_pallas=use_pallas)
+        use_pallas=use_pallas,
+        backfill_budget_per_step=backfill_budget_per_step)
     state, start_step = sess.init_or_resume(seed=seed)
     imported = 0
     if import_history_from is not None and start_step == 0:
@@ -316,8 +318,12 @@ def train_store_sessioned(
     # batch flushes + batch * n_step_window terminal backfills (mass
     # terminations, e.g. a collision-heavy control arm), so the scan
     # length is capped by that bound — an average-case estimate could
-    # let ring_delta_slots overflow mid-run and kill the session.
-    worst_per_step = batch_per_device * (1 + cfg.store.n_step_window)
+    # let ring_delta_slots overflow mid-run and kill the session.  A
+    # backfill budget statically bounds the write count instead.
+    if backfill_budget_per_step is not None:
+        worst_per_step = batch_per_device + backfill_budget_per_step
+    else:
+        worst_per_step = batch_per_device * (1 + cfg.store.n_step_window)
     sub_chunk = max(1, min(chunk, store_capacity_per_device
                            // worst_per_step))
     run_fn = sess.run_factory(sub_chunk)
@@ -366,6 +372,7 @@ def run_two_session_improvement(
     eval_steps: int = 300,
     seed: int = 0,
     use_pallas: Optional[bool] = None,
+    backfill_budget_per_step: Optional[int] = None,
 ) -> Dict:
     """The cross-session demonstration (RLS.py:34-76 +
     DCARL_agent.py:18-43 at fleet scale): session A trains from empty
@@ -379,7 +386,8 @@ def run_two_session_improvement(
     cfg = cfg or demo_config()
     kw = dict(batch_per_device=batch_per_device, chunk=chunk,
               store_capacity_per_device=store_capacity_per_device,
-              use_pallas=use_pallas)
+              use_pallas=use_pallas,
+              backfill_budget_per_step=backfill_budget_per_step)
     evkw = dict(n_envs=eval_envs, n_steps=eval_steps, seed=seed + 100,
                 use_pallas=use_pallas)
 
@@ -435,7 +443,7 @@ def run_improvement_suite(
     eval_steps: int = 400,
     seed: int = 0,
     use_pallas: Optional[bool] = None,
-    session_scale: float = 0.25,
+    session_scale: float = 1.0,
 ) -> Dict:
     """The round-4 experiment suite — four committed arms beyond the
     headline run:
@@ -484,8 +492,9 @@ def run_improvement_suite(
       values cannot express at this scenario's time scale).
     * ``two_session``       — the cross-session lifecycle artifact
       (train -> persist -> fresh agent reloads the history -> retains
-      activation -> keeps improving), at reduced scale
-      (``session_scale``).
+      activation -> keeps improving).  ``session_scale`` defaults to
+      1.0: the lifecycle demonstration runs at the SAME
+      batch/store-capacity as the headline arm.
     """
     import os
 
@@ -535,9 +544,14 @@ def run_improvement_suite(
         batch_per_device=sb,
         train_steps=train_steps,
         chunk=chunk,
-        store_capacity_per_device=max(store_capacity_per_device // 4, 1 << 14),
+        store_capacity_per_device=max(
+            int(store_capacity_per_device * session_scale), 1 << 14),
         eval_envs=eval_envs, eval_steps=eval_steps,
-        seed=seed, use_pallas=use_pallas)
+        seed=seed, use_pallas=use_pallas,
+        # a generous budget (steady-state backfill load is ~batch *
+        # W / episode_len, ~25x smaller) bounds the per-step write
+        # count so the spool cadence stays at a sane chunk length
+        backfill_budget_per_step=2 * sb)
 
     nc = out["negative_control"]
     out["summary"] = {

@@ -92,8 +92,16 @@ def test_negative_control_bad_candidates_never_activate(negative_report):
     assert imp["activation_fraction"] < 0.02, imp
     # no safety regression: gated collision rate does not exceed rule's
     assert imp["collision_delta_per_kstep"] <= 0.5, imp
-    # and no meaningful performance regression either
-    assert imp["reward_rate_ratio"] > 0.95, imp
+    # and no meaningful performance regression either.  Under the
+    # reference's zero-per-step reward the rule fleet's reward rate is
+    # exactly 0, so the ratio serializes as null (no Infinity in
+    # committed JSON) and the regression check moves to the delta:
+    # gated reward reflects only collisions (-100 each), so ~0 delta
+    # means no added collisions.
+    if imp["reward_rate_ratio"] is not None:
+        assert imp["reward_rate_ratio"] > 0.95, imp
+    else:
+        assert imp["reward_rate_delta"] >= -0.05, imp
 
 
 def test_episode_value_mode_trains_and_deploys():

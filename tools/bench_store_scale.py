@@ -15,7 +15,9 @@ comfortable 262k rows the round-3 bench stopped at.  This sweeps the
 action-grouped query kernel and the full gated deployment driver from
 256k to 8M rows, asserting real-hardware parity against the XLA
 reduction at every size (including the 1M+ sizes — the committed
-correctness-at-scale evidence), and writes STORE_SCALE_r04.json.
+correctness-at-scale evidence), and writes STORE_SCALE_r05.json.
+The gated sweep runs at the flagship 64k-env fleet config (matching
+bench.py) so its absolute numbers compose with BENCH.
 
 Run: python tools/bench_store_scale.py            (on the bench TPU)
 """
@@ -126,7 +128,9 @@ def main():
     sc = t_intersection(env_cfg)
     init_fn, run_fn = make_gated_driver_fast(sc, env_cfg, store_cfg=scfg,
                                              use_pallas=on_tpu)
-    g_batch, g_steps = (B, 20) if on_tpu else (64, 5)
+    # flagship fleet config (bench.py's gated 64k envs) so the sweep's
+    # absolute numbers are directly comparable to BENCH's gated rate
+    g_batch, g_steps = (65536, 20) if on_tpu else (64, 5)
     keys = jax.random.split(jax.random.PRNGKey(0), g_batch)
     for rows in gated_sizes:
         s_np = corridor_store(rng, rows, d)
@@ -155,7 +159,7 @@ def main():
         del skeys, vals
 
     out_path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "STORE_SCALE_r04.json")
+        os.path.abspath(__file__))), "STORE_SCALE_r05.json")
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     print("wrote", out_path)

@@ -59,6 +59,39 @@ def _stub_raw_moments():
     return mock.patch("dcarl_tpu.core.store._raw_moments", new=f)
 
 
+def _stub_peraction_query():
+    # the round-4 deployment query kernel (the gated driver's hot path)
+    import jax.numpy as jnp
+
+    def f(keys, values, valid, obs_queries, half_widths, num_actions=11,
+          **kw):
+        return jnp.zeros((obs_queries.shape[0], num_actions, 3),
+                         jnp.float32)
+
+    return mock.patch(
+        "dcarl_tpu.ops.pallas_store.box_query_moments_peraction", new=f)
+
+
+def _stub_control():
+    import jax.numpy as jnp
+
+    def f(ego_x, ego_y, ego_yaw, ego_v, traj_x, traj_y, speed_end, dtype):
+        z = jnp.zeros_like(ego_x)
+        return z, z
+
+    return mock.patch("dcarl_tpu.planning.fast_rollout._control", new=f)
+
+
+def _stub_project():
+    import jax.numpy as jnp
+
+    def f(px, py, vx, vy, tab, dtype):
+        z = jnp.zeros_like(px)
+        return z, z, z
+
+    return mock.patch("dcarl_tpu.planning.fast_rollout._project_ego", new=f)
+
+
 def _stub_store_insert():
     def ident(store, *a, **k):
         return store
@@ -174,7 +207,8 @@ def _stub_env():
 
 ABLATIONS_TRAIN = {
     "full": [],
-    "-store_query": [_stub_grouped_query, _stub_raw_moments],
+    "-store_query": [_stub_grouped_query, _stub_raw_moments,
+                     _stub_peraction_query],
     "-store_write": [_stub_store_insert],
     "-traj_push": [_stub_traj_push],
     "-td_update": [_stub_td_loss],
@@ -186,8 +220,11 @@ ABLATIONS_TRAIN = {
 
 ABLATIONS_GATED = {
     "full": [],
-    "-store_query": [_stub_grouped_query, _stub_raw_moments],
+    "-store_query": [_stub_grouped_query, _stub_raw_moments,
+                     _stub_peraction_query],
     "-plan": [_stub_plan],
+    "-control": [_stub_control],
+    "-project": [_stub_project],
     "-env_step": [_stub_env],
 }
 
