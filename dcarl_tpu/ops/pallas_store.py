@@ -486,9 +486,9 @@ def box_query_moments_pallas(
     return out[:, :q].T
 
 
-def _peraction_kernel(q_ref, rows_ref, w_ref, w0_ref, qb_ref, kb_ref,
-                      out_ref, *, obs_dim: int, n_feats: int,
-                      sub_q: int = 512, sub_n: int = 1024):
+def _peraction_kernel(q_ref, qbf_ref, rows_ref, kbf_ref, w_ref, w0_ref,
+                      qb_ref, kb_ref, out_ref, *, obs_dim: int,
+                      n_feats: int, sub_q: int = 512, sub_n: int = 1024):
     """Per-action moment kernel — the deployment query's true shape.
 
     The gated driver needs count/sum/sumsq for EVERY candidate action
@@ -507,10 +507,27 @@ def _peraction_kernel(q_ref, rows_ref, w_ref, w0_ref, qb_ref, kb_ref,
     queries sorted by the band dim, bounds in SMEM) bounds the masked
     work exactly as before.
 
+    Band pruning alone is not enough when rows legitimately spread
+    across (or concentrate inside) the band dimension — overlapping
+    subtiles then run the unconditional OBS-dim chain on every pair,
+    which measured as the gated fleet's dominant cost on realistic
+    stores.  So the same bf16 MXU distance prefilter as
+    :func:`_sorted_kernel` gates the exact work: both sides arrive
+    centered, w-scaled, and bf16-rounded with exact f32 norms;
+    containment on the OBS dims implies the scaled squared distance is
+    <= obs_dim, so one [sub_q, D] x [D, sub_n] bf16 matmul (exact
+    products in f32) with the norm-proportional rounding margin can
+    prove a whole subtile matchless and skip both the chain and the
+    feats matmul.  Exactness is untouched: the margin only ever
+    loosens the filter (tests pin parity against the XLA reduction).
+
     Operand layouts:
-      ``q_ref``    [OBS, QT] f32: observation queries (no action col)
-      ``rows_ref`` [OBS + 3A, NT] f32: rows 0..OBS-1 = obs keys,
-                   then the 3A-row feature block
+      ``q_ref``    [OBS + 1, QT] f32: observation queries (no action
+                   col), then the exact bf16 query norms
+      ``qbf_ref``  [OBS, QT] bf16: centered/scaled/rounded queries
+      ``rows_ref`` [OBS + 3A + 1, NT] f32: rows 0..OBS-1 = obs keys,
+                   then the 3A-row feature block, then the key norms
+      ``kbf_ref``  [OBS, NT] bf16: centered/scaled/rounded keys
     """
     j = pl.program_id(1)
     i = pl.program_id(0)
@@ -544,21 +561,39 @@ def _peraction_kernel(q_ref, rows_ref, w_ref, w0_ref, qb_ref, kb_ref,
 
                 @pl.when(overlap)
                 def _(qs0=qs0, qs1=qs1, s0=s0, s1=s1):
-                    qblk = q_ref[:, qs0:qs1]               # [OBS, sub_q]
-                    kblk = rows_ref[:obs_dim, s0:s1]       # [OBS, sub_n]
-                    mask_b = jnp.ones((qs1 - qs0, s1 - s0),
-                                      dtype=jnp.bool_)
-                    for d in range(obs_dim):  # static unroll over dims
-                        diff = (qblk[d, :][:, None]
-                                - kblk[d, :][None, :])
-                        mask_b = mask_b & (jnp.abs(diff) <= w_ref[d, 0])
-                    mask = mask_b.astype(jnp.float32)      # [sub_q, sub_n]
-                    feats = rows_ref[obs_dim:, s0:s1]      # [3A, sub_n]
-                    dots = jax.lax.dot_general(
-                        feats, mask,
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)  # [3A, sub_q]
-                    out_ref[:, qs0:qs1] = out_ref[:, qs0:qs1] + dots
+                    # bf16 MXU distance prefilter (see docstring)
+                    qn = q_ref[obs_dim, qs0:qs1]           # [sub_q] f32
+                    kn = rows_ref[obs_dim + n_feats, s0:s1]
+                    dots_d = jax.lax.dot_general(
+                        qbf_ref[:, qs0:qs1], kbf_ref[:, s0:s1],
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    d2 = qn[:, None] - 2.0 * dots_d + kn[None, :]
+                    e = 0.004 * (jnp.sqrt(qn)[:, None]
+                                 + jnp.sqrt(kn)[None, :])
+                    thresh = obs_dim + 1.0 + 4.0 * (
+                        2.0 * jnp.sqrt(jnp.float32(obs_dim)) * e + e * e)
+                    cand = d2 <= thresh
+
+                    @pl.when(jnp.any(cand))
+                    def _(qs0=qs0, qs1=qs1, s0=s0, s1=s1):
+                        qblk = q_ref[:obs_dim, qs0:qs1]    # [OBS, sub_q]
+                        kblk = rows_ref[:obs_dim, s0:s1]   # [OBS, sub_n]
+                        mask_b = jnp.ones((qs1 - qs0, s1 - s0),
+                                          dtype=jnp.bool_)
+                        for d in range(obs_dim):  # static unroll
+                            diff = (qblk[d, :][:, None]
+                                    - kblk[d, :][None, :])
+                            mask_b = mask_b & (jnp.abs(diff)
+                                               <= w_ref[d, 0])
+                        mask = mask_b.astype(jnp.float32)  # [sub_q, sub_n]
+                        feats = rows_ref[obs_dim:obs_dim + n_feats,
+                                         s0:s1]            # [3A, sub_n]
+                        dots = jax.lax.dot_general(
+                            feats, mask,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        out_ref[:, qs0:qs1] = out_ref[:, qs0:qs1] + dots
 
 
 @functools.partial(jax.jit, static_argnames=("num_actions", "q_tile",
@@ -622,13 +657,30 @@ def box_query_moments_peraction(
     feats = (onehot[:, None, :] * vmom[None, :, :]).reshape(
         3 * num_actions, n)
 
-    rows_cat = jnp.full((obs_dim + 3 * num_actions, n_pad), _PAD,
-                        jnp.float32)
-    rows_cat = rows_cat.at[:obs_dim, :n].set(keys_s[:, :obs_dim].T)
-    rows_cat = rows_cat.at[obs_dim:, :].set(0.0)
-    rows_cat = rows_cat.at[obs_dim:, :n].set(feats)
+    keys_t = jnp.full((obs_dim, n_pad), _PAD, jnp.float32).at[:, :n].set(
+        keys_s[:, :obs_dim].T)
     q_t = jnp.full((obs_dim, q_pad), _PAD, jnp.float32).at[:, :b].set(
         queries_s.T)
+    # centered/scaled bf16 copies + exact norms for the MXU distance
+    # prefilter (translation-invariant; the row mean keeps magnitudes
+    # and so the rounding margin small) — see _launch_sorted
+    valid_row = jnp.zeros((1, n_pad), jnp.float32).at[0, :n].set(
+        valid_s.astype(jnp.float32))
+    cntv = jnp.maximum(jnp.sum(valid_row), 1.0)
+    mu = (keys_t * valid_row) @ jnp.ones((n_pad, 1), jnp.float32) / cntv
+    iw = (1.0 / jnp.maximum(w[:obs_dim], 1e-9)).reshape(obs_dim, 1)
+    kbf = ((keys_t - mu) * iw).astype(jnp.bfloat16)
+    qbf = ((q_t - mu) * iw).astype(jnp.bfloat16)
+    kn = jnp.sum(jnp.square(kbf.astype(jnp.float32)), axis=0)
+    qn = jnp.sum(jnp.square(qbf.astype(jnp.float32)), axis=0)
+
+    rows_cat = jnp.full((obs_dim + 3 * num_actions + 1, n_pad), _PAD,
+                        jnp.float32)
+    rows_cat = rows_cat.at[:obs_dim, :].set(keys_t)
+    rows_cat = rows_cat.at[obs_dim:-1, :].set(0.0)
+    rows_cat = rows_cat.at[obs_dim:-1, :n].set(feats)
+    rows_cat = rows_cat.at[-1, :].set(kn)
+    q_cat = jnp.concatenate([q_t, qn[None]], axis=0)
 
     # [sub_q, sub_n] bounds Mosaic's live mask temporaries; the
     # UNCONDITIONAL 20-dim chain keeps ~16 of them live, so 512x256 is
@@ -651,10 +703,14 @@ def box_query_moments_peraction(
                                        jnp.float32),
         grid=grid,
         in_specs=[
+            pl.BlockSpec((obs_dim + 1, q_tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((obs_dim, q_tile), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((obs_dim + 3 * num_actions, n_tile),
+            pl.BlockSpec((obs_dim + 3 * num_actions + 1, n_tile),
                          lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((obs_dim, n_tile), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((obs_dim, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -673,7 +729,7 @@ def box_query_moments_peraction(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(q_t, rows_cat, w_col, w0_arr, qb, kb)
+    )(q_cat, qbf, rows_cat, kbf, w_col, w0_arr, qb, kb)
 
     # [3A, q_pad] -> [B, A, 3], un-sorted
     res = out[:, :b].reshape(num_actions, 3, b).transpose(2, 0, 1)

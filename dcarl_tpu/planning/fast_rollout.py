@@ -985,11 +985,12 @@ def make_gated_driver_fast(sc: Scenario,
                                    store_valid, flat_q.astype(dtype),
                                    half_widths)
         if psum_axis is not None:
-            moments = _jax.lax.psum(moments, psum_axis)
-            shard_idx = _jax.lax.axis_index(psum_axis)
-            moments = _jax.lax.dynamic_slice_in_dim(
-                moments, shard_idx * (b * num_actions), b * num_actions,
-                axis=0)
+            # reduce-scatter, not psum+slice: each shard needs only its
+            # local env block of the summed moments, and a
+            # reduce-scatter moves half the wire bytes of an all-reduce
+            # (the AOT audit's HLO census, SCALING_r05.md)
+            moments = _jax.lax.psum_scatter(
+                moments, psum_axis, scatter_dimension=0, tiled=True)
         qs = moments_to_stats(moments)
         stats = RLSmod.ActionStats(
             count=qs.count.reshape(b, num_actions).astype(npdt),

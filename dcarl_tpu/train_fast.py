@@ -268,9 +268,10 @@ def make_trainer_fast(
                 obs_q, jnp.zeros((bg,), obs_q.dtype))   # [Bg, D]
             moments = _raw_moments(local_store.keys, local_store.values,
                                    valid, flat_q, half_widths)
-        moments = jax.lax.psum(moments, axis)
-        moments = jax.lax.dynamic_slice_in_dim(
-            moments, jax.lax.axis_index(axis) * b, b, axis=0)
+        # reduce-scatter: each shard keeps only its local env block of
+        # the global sums (half the wire bytes of psum + slice)
+        moments = jax.lax.psum_scatter(moments, axis,
+                                       scatter_dimension=0, tiled=True)
         qstats = moments_to_stats(moments)
         # rule-only stats in slot 0; act_train reads only [..., 0]
         stats = RLS.ActionStats(
