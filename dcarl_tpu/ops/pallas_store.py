@@ -487,8 +487,9 @@ def box_query_moments_pallas(
 
 
 def _peraction_kernel(q_ref, qbf_ref, rows_ref, kbf_ref, w_ref, w0_ref,
-                      qb_ref, kb_ref, out_ref, *, obs_dim: int,
-                      n_feats: int, sub_q: int = 512, sub_n: int = 1024):
+                      w2_ref, qb_ref, kb_ref, qb2_ref, kb2_ref, out_ref,
+                      *, obs_dim: int, n_feats: int, sub_q: int = 512,
+                      sub_n: int = 1024):
     """Per-action moment kernel — the deployment query's true shape.
 
     The gated driver needs count/sum/sumsq for EVERY candidate action
@@ -528,6 +529,16 @@ def _peraction_kernel(q_ref, qbf_ref, rows_ref, kbf_ref, w_ref, w0_ref,
       ``rows_ref`` [OBS + 3A + 1, NT] f32: rows 0..OBS-1 = obs keys,
                    then the 3A-row feature block, then the key norms
       ``kbf_ref``  [OBS, NT] bf16: centered/scaled/rounded keys
+
+    A SECOND per-subtile range prune runs before the prefilter: the
+    launcher picks the most selective non-band dimension from the data
+    and stores each sub-slice's [min, max] of it in SMEM (``qb2_ref``/
+    ``kb2_ref``); sub-slices whose ranges sit further than that dim's
+    half-width apart can contain no match.  Rows are NOT sorted by this
+    dim — the bound is whatever range the band-sorted slice happens to
+    span — but real stores cluster (repeated trigger states, per-episode
+    phases), making the ranges tight exactly where the band dim
+    saturates.
     """
     j = pl.program_id(1)
     i = pl.program_id(0)
@@ -553,11 +564,17 @@ def _peraction_kernel(q_ref, qbf_ref, rows_ref, kbf_ref, w_ref, w0_ref,
             q_lo = qb_ref[0, q0 + sq]
             q_hi = qb_ref[1, q0 + sq]
 
+            q2_lo = qb2_ref[0, q0 + sq]
+            q2_hi = qb2_ref[1, q0 + sq]
+
             for sn in range(n_nsubs):
                 s0, s1 = sn * sub_n, (sn + 1) * sub_n
                 k_lo = kb_ref[0, k0 + sn]
                 k_hi = kb_ref[1, k0 + sn]
-                overlap = (k_lo - w0 <= q_hi) & (k_hi + w0 >= q_lo)
+                w2 = w2_ref[0]
+                overlap = ((k_lo - w0 <= q_hi) & (k_hi + w0 >= q_lo)
+                           & (kb2_ref[0, k0 + sn] - w2 <= q2_hi)
+                           & (kb2_ref[1, k0 + sn] + w2 >= q2_lo))
 
                 @pl.when(overlap)
                 def _(qs0=qs0, qs1=qs1, s0=s0, s1=s1):
@@ -694,6 +711,28 @@ def box_query_moments_peraction(
     w_col = w[:obs_dim].reshape(obs_dim, 1)
     w0_arr = w[band_dim].reshape(1)
 
+    # second prune dim: the most selective obs dim (spread over
+    # half-width) EXCLUDING the band dim, measured from the data.
+    # Sub-slices carry its [min, max] — rows are band-sorted, so the
+    # range is whatever the slice spans; clustered stores (repeated
+    # trigger states) make it tight exactly where the band saturates.
+    vf = valid.astype(jnp.float32)
+    cnt2 = jnp.maximum(jnp.sum(vf), 1.0)
+    mean_d = (vf @ keys) / cnt2
+    spread = (vf @ jnp.abs(keys - mean_d)) / cnt2
+    sel = spread[:obs_dim] / jnp.maximum(w[:obs_dim], 1e-9)
+    sel = sel.at[band_dim].set(-1.0)
+    sdim2 = jnp.argmax(sel)
+    w2_arr = jnp.take(w, sdim2).reshape(1)
+    k2 = jnp.full((n_pad,), _PAD, jnp.float32).at[:n].set(
+        jnp.take(keys_s, sdim2, axis=1))
+    q2 = jnp.full((q_pad,), _PAD, jnp.float32).at[:b].set(
+        jnp.take(queries_s, sdim2, axis=1))
+    k2r = k2.reshape(-1, sub_n)
+    q2r = q2.reshape(-1, sub_q)
+    kb2 = jnp.stack([jnp.min(k2r, axis=1), jnp.max(k2r, axis=1)])
+    qb2 = jnp.stack([jnp.min(q2r, axis=1), jnp.max(q2r, axis=1)])
+
     grid = (q_pad // q_tile, n_pad // n_tile)
     out = pl.pallas_call(
         functools.partial(_peraction_kernel, obs_dim=obs_dim,
@@ -716,6 +755,9 @@ def box_query_moments_peraction(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((3 * num_actions, q_tile),
                                lambda i, j: (0, i),
@@ -729,7 +771,7 @@ def box_query_moments_peraction(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(q_cat, qbf, rows_cat, kbf, w_col, w0_arr, qb, kb)
+    )(q_cat, qbf, rows_cat, kbf, w_col, w0_arr, w2_arr, qb, kb, qb2, kb2)
 
     # [3A, q_pad] -> [B, A, 3], un-sorted
     res = out[:, :b].reshape(num_actions, 3, b).transpose(2, 0, 1)
