@@ -985,10 +985,12 @@ def make_gated_driver_fast(sc: Scenario,
                                    store_valid, flat_q.astype(dtype),
                                    half_widths)
         if psum_axis is not None:
-            # reduce-scatter, not psum+slice: each shard needs only its
-            # local env block of the summed moments, and a
-            # reduce-scatter moves half the wire bytes of an all-reduce
-            # (the AOT audit's HLO census, SCALING_r05.md)
+            # psum_scatter, not psum+slice: each shard needs only its
+            # local env block of the summed moments.  (The AOT HLO
+            # census shows XLA currently lowers this back to
+            # all-reduce+slice at these shapes — SCALING_r05.md — but
+            # the scatter form states the true requirement and lets the
+            # compiler pick the cheaper collective when it can.)
             moments = _jax.lax.psum_scatter(
                 moments, psum_axis, scatter_dimension=0, tiled=True)
         qs = moments_to_stats(moments)

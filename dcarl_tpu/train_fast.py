@@ -268,8 +268,10 @@ def make_trainer_fast(
                 obs_q, jnp.zeros((bg,), obs_q.dtype))   # [Bg, D]
             moments = _raw_moments(local_store.keys, local_store.values,
                                    valid, flat_q, half_widths)
-        # reduce-scatter: each shard keeps only its local env block of
-        # the global sums (half the wire bytes of psum + slice)
+        # psum_scatter: each shard keeps only its local env block of
+        # the global sums (XLA may still lower it as all-reduce+slice
+        # at these shapes — see SCALING_r05.md — but the scatter form
+        # states the minimal requirement)
         moments = jax.lax.psum_scatter(moments, axis,
                                        scatter_dimension=0, tiled=True)
         qstats = moments_to_stats(moments)
