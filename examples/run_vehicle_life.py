@@ -27,10 +27,14 @@ def main():
     ap.add_argument("--smoke", action="store_true",
                     help="CPU-sized run (no artifact)")
     ap.add_argument("--out", default="WORKINGSET_r05.json")
+    # 450 route positions x 10k episode records each = 4.5M rows: the
+    # same total evidence as 150x30k, at a per-position density that
+    # matches a vehicle visiting each intersection ~10k times (serving
+    # cost scales with IN-REGION match density, not history size)
     ap.add_argument("--envs", type=int, default=65536)
     ap.add_argument("--chunks", type=int, default=120)
-    ap.add_argument("--local-rows", type=int, default=30000)
-    ap.add_argument("--offsets", type=int, default=150)
+    ap.add_argument("--local-rows", type=int, default=10000)
+    ap.add_argument("--offsets", type=int, default=450)
     args = ap.parse_args()
 
     import jax
