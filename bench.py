@@ -164,44 +164,50 @@ def bench_gated_steps(batch: int, steps: int, store_rows: int,
                       repeats: int = 3):
     """Confidence-gated deployment driver (make_gated_driver_fast — the
     inference-mode product: plan + fused all-candidate store query +
-    Welch z-test + drive) env-steps/s against a populated store."""
+    Welch z-test + drive) env-steps/s against a populated store.
+
+    The store is built by the INTEGRATED TRAINER — the reference's own
+    deployment story (DCARL_agent.py: train -> persist the RLS dataset
+    -> deploy against it): a short training run whose ring retains the
+    newest ``store_rows`` flush/backfill records of a desynchronized
+    fleet, i.e. dense DISTINCT visited-state keys across the whole
+    corridor.  (Round 4 built it from collector ``recorded_state``
+    rows, which are zeros until an episode's trigger fires — at bench
+    rollout lengths that store had only ~6 unique keys, so the query
+    faced almost no real work.  The trainer store is the honest, and
+    much harder, serving distribution.)"""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from dcarl_tpu.config import EnvConfig, driving_store_config
+    from dcarl_tpu.config import DCARLConfig, EnvConfig, \
+        driving_store_config
     from dcarl_tpu.env.scenario import t_intersection
+    from dcarl_tpu.parallel.mesh import make_mesh
     from dcarl_tpu.planning.fast_rollout import make_gated_driver_fast
-
-    from dcarl_tpu.planning.fast_rollout import make_collector_fast
+    from dcarl_tpu.train_fast import make_trainer_fast
 
     scfg = driving_store_config()
     env_cfg = EnvConfig()
     sc = t_intersection(env_cfg)
     init_fn, run_fn = make_gated_driver_fast(sc, env_cfg, store_cfg=scfg)
 
-    # Populate the store from REAL rollouts: states recorded by the
-    # value-collection driver, actions = the rule's lattice picks, so
-    # the query kernel faces the true visited-state distribution (and
-    # genuine matches), not synthetic never-matching noise.
-    cb = min(4096, max(batch, 64))
-    init_c, run_c = make_collector_fast(sc, env_cfg)
-    ckeys = jax.random.split(jax.random.PRNGKey(7), cb)
-    ccarry = init_c(ckeys)
-    csteps = store_rows // cb + 1
-    csk = jax.random.split(jax.random.PRNGKey(8), csteps)
-    _, recs = run_c(ccarry, csk)
-    states = np.asarray(recs.recorded_state)       # [S, 20, B]
-    acts = np.asarray(recs.rule_index)             # [S, B] real lattice mix
-    rews = np.asarray(recs.reward)
-    d = env_cfg.state_dim + 1
-    s_keys = np.concatenate(
-        [states.transpose(0, 2, 1).reshape(-1, env_cfg.state_dim),
-         acts.reshape(-1, 1).astype(np.float32)], axis=1)[:store_rows]
-    s_vals = jnp.asarray(rews.reshape(-1)[:store_rows], jnp.float32)
-    s_valid = jnp.ones((s_keys.shape[0],), bool)
-    s_keys = jnp.asarray(s_keys)
-    store_rows = s_keys.shape[0]
+    on_tpu = jax.default_backend() == "tpu"
+    tb = 16384 if on_tpu else 32
+    fill_steps = 300 if on_tpu else 8
+    mesh = make_mesh("env", jax.devices()[:1])
+    init_t, _, _, run_factory = make_trainer_fast(
+        mesh, "env", DCARLConfig(store=scfg),
+        batch_per_device=tb,
+        store_capacity_per_device=store_rows,
+        replay_capacity_per_device=1 << 14,
+        backfill_budget_per_step=max(512, tb // 4))
+    run_t = run_factory(fill_steps)
+    t_state = run_t(init_t(seed=7), jax.random.PRNGKey(8))[0]
+    s_keys = jnp.asarray(t_state.store_keys[0])
+    s_vals = jnp.asarray(t_state.store_values[0])
+    n_rows = int(np.asarray(t_state.store_size)[0])
+    s_valid = jnp.arange(store_rows) < n_rows
 
     if jax.default_backend() == "tpu":
         # Real-hardware parity of the deployment query kernel (the
@@ -210,6 +216,7 @@ def bench_gated_steps(batch: int, steps: int, store_rows: int,
         from dcarl_tpu.core.store import _raw_moments
         from dcarl_tpu.ops.pallas_store import box_query_moments_peraction
 
+        d = env_cfg.state_dim + 1
         hw = jnp.asarray(scfg.half_widths, jnp.float32)
         obs_probe = s_keys[:32, :-1] + 0.5  # near-data probes
         a_n = env_cfg.action_dim

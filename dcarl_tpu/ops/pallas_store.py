@@ -17,6 +17,7 @@ all 3 moments.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -487,9 +488,9 @@ def box_query_moments_pallas(
 
 
 def _peraction_kernel(q_ref, qbf_ref, rows_ref, kbf_ref, w_ref, w0_ref,
-                      w2_ref, qb_ref, kb_ref, qb2_ref, kb2_ref, out_ref,
-                      *, obs_dim: int, n_feats: int, sub_q: int = 512,
-                      sub_n: int = 1024):
+                      w2_ref, qb_ref, kb_ref, qb2_ref, kb2_ref, qbt_ref,
+                      kbt_ref, out_ref, *, obs_dim: int, n_feats: int,
+                      sub_q: int = 512, sub_n: int = 1024):
     """Per-action moment kernel — the deployment query's true shape.
 
     The gated driver needs count/sum/sumsq for EVERY candidate action
@@ -530,15 +531,18 @@ def _peraction_kernel(q_ref, qbf_ref, rows_ref, kbf_ref, w_ref, w0_ref,
                    then the 3A-row feature block, then the key norms
       ``kbf_ref``  [OBS, NT] bf16: centered/scaled/rounded keys
 
-    A SECOND per-subtile range prune runs before the prefilter: the
-    launcher picks the most selective non-band dimension from the data
-    and stores each sub-slice's [min, max] of it in SMEM (``qb2_ref``/
-    ``kb2_ref``); sub-slices whose ranges sit further than that dim's
-    half-width apart can contain no match.  Rows are NOT sorted by this
-    dim — the bound is whatever range the band-sorted slice happens to
-    span — but real stores cluster (repeated trigger states, per-episode
-    phases), making the ranges tight exactly where the band dim
-    saturates.
+    Two-dimensional sub-slice pruning: both sides are sorted
+    LEXICOGRAPHICALLY by (band-dim cell of width 2*w0, then the most
+    selective non-band dim), and every sub-slice carries its ACTUAL
+    [min, max] of both dims in SMEM (``qb_ref``/``kb_ref`` for the
+    band dim, ``qb2_ref``/``kb2_ref`` for the second).  Bounds are
+    true extrema, so any sort order is CORRECT — the lexicographic
+    order merely makes both ranges tight at once: inside one band
+    cell the slices are second-dim-sorted, so a sub-slice spans a
+    narrow rectangle, and sub-slices whose rectangles sit further
+    than the half-widths apart prune without touching the VPU.
+    ``qbt_ref``/``kbt_ref`` hold per-TILE band extrema for the outer
+    early-out.
     """
     j = pl.program_id(1)
     i = pl.program_id(0)
@@ -554,8 +558,8 @@ def _peraction_kernel(q_ref, qbf_ref, rows_ref, kbf_ref, w_ref, w0_ref,
     n_nsubs = nt // sub_n
     q0 = i * n_subs
     k0 = j * n_nsubs
-    tile_ov = ((kb_ref[0, k0] - w0 <= qb_ref[1, q0 + n_subs - 1])
-               & (kb_ref[1, k0 + n_nsubs - 1] + w0 >= qb_ref[0, q0]))
+    tile_ov = ((kbt_ref[0, j] - w0 <= qbt_ref[1, i])
+               & (kbt_ref[1, j] + w0 >= qbt_ref[0, i]))
 
     @pl.when(tile_ov)
     def _():
@@ -634,32 +638,118 @@ def box_query_moments_peraction(
     when the action lattice is integral and the action half-width is
     < 0.5 (both pinned by tests); rows whose action column is outside
     [0, num_actions) match nothing, like any non-contained key."""
+    prep = prepare_peraction_store(keys, values, valid, half_widths,
+                                   num_actions=num_actions, n_tile=n_tile,
+                                   band_dim=band_dim)
+    return query_peraction_prepared(prep, obs_queries, q_tile=q_tile,
+                                    interpret=interpret)
+
+
+class PreparedPerActionStore(NamedTuple):
+    """Store-side preprocessing of :func:`box_query_moments_peraction`
+    — sort, dedup, feature block, prefilter operands, prune bounds —
+    split out so a DEPLOYMENT loop whose store is fixed across a scan
+    pays it once per store instead of once per tick (XLA does not
+    reliably hoist multi-kilorow sorts out of while bodies)."""
+
+    rows_cat: jax.Array   # [OBS + 3A + 1, n_pad] f32 fused row operands
+    kbf: jax.Array        # [OBS, n_pad] bf16 centered/scaled keys
+    kb: jax.Array         # [2, n_pad/sub_n] band extrema per sub-slice
+    kb2: jax.Array        # [2, n_pad/sub_n] second-dim extrema
+    kbt: jax.Array        # [2, n_pad/n_tile] band extrema per tile
+    mu: jax.Array         # [OBS, 1] prefilter centering
+    iw: jax.Array         # [OBS, 1] prefilter inverse widths
+    w_col: jax.Array      # [OBS, 1] box half-widths
+    w0: jax.Array         # [1] band half-width
+    w2: jax.Array         # [1] second-dim half-width
+    sdim2: jax.Array      # [] i32 second prune dim (data-chosen)
+    cell_w: jax.Array     # [] band cell width of the lexicographic sort
+    band_dim_arr: jax.Array  # [] i32 band dim (the query side reads it)
+
+
+@functools.partial(jax.jit, static_argnames=("num_actions", "n_tile",
+                                             "band_dim"))
+def prepare_peraction_store(
+    keys: jax.Array,         # [N, D] (last column = integer action)
+    values: jax.Array,       # [N]
+    valid: jax.Array,        # [N] bool
+    half_widths: jax.Array,  # [D]
+    num_actions: int = 11,
+    n_tile: int = 2048,
+    band_dim: int = 1,
+) -> PreparedPerActionStore:
     n, d = keys.shape
-    b = obs_queries.shape[0]
     obs_dim = d - 1
     keys = keys.astype(jnp.float32)
     values = values.astype(jnp.float32)
-    queries = obs_queries.astype(jnp.float32)
     w = half_widths.astype(jnp.float32)
 
-    # rows sorted by the band dim; invalid rows to the end
-    sk = jnp.where(valid, keys[:, band_dim], _PAD)
-    order = jnp.argsort(sk)
+    # Second prune dim: the most selective obs dim (spread over
+    # half-width) EXCLUDING the band dim, measured from the data.
+    vf0 = valid.astype(jnp.float32)
+    cnt0 = jnp.maximum(jnp.sum(vf0), 1.0)
+    mean0 = (vf0 @ keys) / cnt0
+    spread0 = (vf0 @ jnp.abs(keys - mean0)) / cnt0
+    sel0 = spread0[:obs_dim] / jnp.maximum(w[:obs_dim], 1e-9)
+    sel0 = sel0.at[band_dim].set(-1.0)
+    sdim2 = jnp.argmax(sel0)
+    w2 = jnp.take(w, sdim2)
+
+    # Lexicographic sort on BOTH sides: (band cell of width 2*w0,
+    # second dim, then every remaining dim).  Sub-slice bounds below
+    # are ACTUAL extrema, so any order is correct — this order makes
+    # both per-slice ranges tight at once AND brings bitwise-identical
+    # rows adjacent for the dedup below.  Invalid rows sort last
+    # (cell = +inf).
+    cell_w = 2.0 * jnp.maximum(w[band_dim], 1e-9)
+    bk = keys[:, band_dim]
+    d2k = jnp.take(keys, sdim2, axis=1)
+    cells_k = jnp.where(valid, jnp.floor(bk / cell_w), jnp.inf)
+    rest = tuple(jnp.where(valid, keys[:, d_], _PAD)
+                 for d_ in range(d - 1, -1, -1))
+    order = jnp.lexsort(rest + (jnp.where(valid, d2k, _PAD), cells_k))
     keys_s = jnp.take(keys, order, axis=0)
     vals_s = jnp.take(values, order)
     valid_s = jnp.take(valid, order)
-    sk_s = jnp.take(sk, order)
 
-    qk = queries[:, band_dim]
-    qorder = jnp.argsort(qk)
-    queries_s = jnp.take(queries, qorder, axis=0)
-    qk_s = jnp.take(qk, qorder)
+    # Dedup: moments are ADDITIVE, so a run of bitwise-identical valid
+    # rows collapses into one row carrying (count, sum(v), sum(v^2)) —
+    # exact by construction.  Real collection stores repeat keys
+    # heavily (the collector records the locked trigger state every
+    # step of an episode; untriggered steps record zeros), so the
+    # effective row count — and with it every downstream subtile's
+    # work — drops by the duplication factor.  Everything here depends
+    # only on the store operands, so XLA hoists it out of the driver's
+    # step scan: it runs once per store, not once per tick.
+    same = jnp.all(keys_s[1:] == keys_s[:-1], axis=1) \
+        & valid_s[1:] & valid_s[:-1]
+    first = jnp.concatenate([jnp.ones((1,), bool), ~same])
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1          # run ids
+    ones = valid_s.astype(jnp.float32)
+    cnt_r = jax.ops.segment_sum(ones, seg, num_segments=n)
+    sum_r = jax.ops.segment_sum(vals_s * ones, seg, num_segments=n)
+    ssq_r = jax.ops.segment_sum(vals_s * vals_s * ones, seg,
+                                num_segments=n)
+    # compact: unique rows keep their sorted order at the front, the
+    # collapsed duplicates fall to the back as invalid slots
+    big = jnp.int32(n + 1)
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+    corder = jnp.argsort(jnp.where(first, iota_n, big + iota_n))
+    keys_s = jnp.take(keys_s, corder, axis=0)
+    valid_s = jnp.take(valid_s & first, corder)
+    run_id = jnp.take(seg, corder)
+    wmom = jnp.stack([jnp.take(cnt_r, run_id),
+                      jnp.take(sum_r, run_id),
+                      jnp.take(ssq_r, run_id)])             # [3, N]
+    wmom = wmom * valid_s[None, :].astype(jnp.float32)
+    sk_s = jnp.where(valid_s, keys_s[:, band_dim], _PAD)
+    s2_s = jnp.where(valid_s, jnp.take(keys_s, sdim2, axis=1), _PAD)
 
     n_pad = _round_up(max(n, n_tile), n_tile)
-    q_pad = _round_up(max(b, q_tile), q_tile)
 
     # feature block: feats[a*3 + m, r] = valid_r * 1[action_r == a]
-    #                                    * [1, v_r, v_r^2][m]
+    #                * [count_r, sum(v)_r, sum(v^2)_r][m]  (the run's
+    #                aggregated moments from the dedup above)
     # An off-lattice action column (|a - round(a)| > half-width, e.g. a
     # corrupted/imported 3.2) matches NO candidate query in the
     # grouped/XLA paths, so it must contribute to no action's moments
@@ -669,15 +759,11 @@ def box_query_moments_peraction(
     onehot = ((act[None, :] == jnp.arange(num_actions)[:, None])
               & valid_s[None, :] & on_lattice[None, :]
               ).astype(jnp.float32)                       # [A, N]
-    vmom = jnp.stack([jnp.ones_like(vals_s), vals_s,
-                      vals_s * vals_s])                    # [3, N]
-    feats = (onehot[:, None, :] * vmom[None, :, :]).reshape(
+    feats = (onehot[:, None, :] * wmom[None, :, :]).reshape(
         3 * num_actions, n)
 
     keys_t = jnp.full((obs_dim, n_pad), _PAD, jnp.float32).at[:, :n].set(
         keys_s[:, :obs_dim].T)
-    q_t = jnp.full((obs_dim, q_pad), _PAD, jnp.float32).at[:, :b].set(
-        queries_s.T)
     # centered/scaled bf16 copies + exact norms for the MXU distance
     # prefilter (translation-invariant; the row mean keeps magnitudes
     # and so the rounding margin small) — see _launch_sorted
@@ -687,9 +773,7 @@ def box_query_moments_peraction(
     mu = (keys_t * valid_row) @ jnp.ones((n_pad, 1), jnp.float32) / cntv
     iw = (1.0 / jnp.maximum(w[:obs_dim], 1e-9)).reshape(obs_dim, 1)
     kbf = ((keys_t - mu) * iw).astype(jnp.bfloat16)
-    qbf = ((q_t - mu) * iw).astype(jnp.bfloat16)
     kn = jnp.sum(jnp.square(kbf.astype(jnp.float32)), axis=0)
-    qn = jnp.sum(jnp.square(qbf.astype(jnp.float32)), axis=0)
 
     rows_cat = jnp.full((obs_dim + 3 * num_actions + 1, n_pad), _PAD,
                         jnp.float32)
@@ -697,41 +781,70 @@ def box_query_moments_peraction(
     rows_cat = rows_cat.at[obs_dim:-1, :].set(0.0)
     rows_cat = rows_cat.at[obs_dim:-1, :n].set(feats)
     rows_cat = rows_cat.at[-1, :].set(kn)
+
+    sub_n = min(256, n_tile)
+
+    ks_p = jnp.full((n_pad,), _PAD, jnp.float32).at[:n].set(sk_s)
+    k2_p = jnp.full((n_pad,), _PAD, jnp.float32).at[:n].set(s2_s)
+    kb = _extrema(ks_p, sub_n)
+    kb2 = _extrema(k2_p, sub_n)
+    kbt = _extrema(ks_p, n_tile)
+
+    return PreparedPerActionStore(
+        rows_cat=rows_cat, kbf=kbf, kb=kb, kb2=kb2, kbt=kbt, mu=mu,
+        iw=iw, w_col=w[:obs_dim].reshape(obs_dim, 1),
+        w0=w[band_dim].reshape(1), w2=w2.reshape(1), sdim2=sdim2,
+        cell_w=cell_w, band_dim_arr=jnp.asarray(band_dim, jnp.int32))
+
+
+def _extrema(vals, width):
+    r = vals.reshape(-1, width)
+    return jnp.stack([jnp.min(r, axis=1), jnp.max(r, axis=1)])
+
+
+@functools.partial(jax.jit, static_argnames=("q_tile", "interpret"))
+def query_peraction_prepared(
+    prep: PreparedPerActionStore,
+    obs_queries: jax.Array,  # [B, D-1] observation queries (no action)
+    q_tile: int = 4096,
+    interpret: bool = False,
+) -> jax.Array:
+    """[B, A, 3] per-action moments against a prepared store (see
+    :class:`PreparedPerActionStore`)."""
+    obs_dim = prep.kbf.shape[0]
+    n_pad = prep.rows_cat.shape[1]
+    num_actions = (prep.rows_cat.shape[0] - obs_dim - 1) // 3
+    n_tile = n_pad // prep.kbt.shape[1]
+    b = obs_queries.shape[0]
+    queries = obs_queries.astype(jnp.float32)
+
+    qbv = jnp.take(queries, prep.band_dim_arr, axis=1)
+    d2q = jnp.take(queries, prep.sdim2, axis=1)
+    qorder = jnp.lexsort((d2q, jnp.floor(qbv / prep.cell_w)))
+    queries_s = jnp.take(queries, qorder, axis=0)
+    qk_s = jnp.take(qbv, qorder)
+    q2_s = jnp.take(d2q, qorder)
+
+    q_pad = _round_up(max(b, q_tile), q_tile)
+    q_t = jnp.full((obs_dim, q_pad), _PAD, jnp.float32).at[:, :b].set(
+        queries_s.T)
+    qbf = ((q_t - prep.mu) * prep.iw).astype(jnp.bfloat16)
+    qn = jnp.sum(jnp.square(qbf.astype(jnp.float32)), axis=0)
     q_cat = jnp.concatenate([q_t, qn[None]], axis=0)
 
     # [sub_q, sub_n] bounds Mosaic's live mask temporaries; the
-    # UNCONDITIONAL 20-dim chain keeps ~16 of them live, so 512x256 is
-    # what fits the 16M scoped-vmem ceiling (512x512 missed by 272KB).
+    # 20-dim chain keeps ~16 of them live, so 512x256 is what fits the
+    # 16M scoped-vmem ceiling (512x512 missed by 272KB).
     sub_q = min(512, q_tile)
-    sub_n = min(256, n_tile)
+    sub_n = n_pad // prep.kb.shape[1]
     qs_p = jnp.full((q_pad,), _PAD, jnp.float32).at[:b].set(qk_s)
-    ks_p = jnp.full((n_pad,), _PAD, jnp.float32).at[:n].set(sk_s)
-    qb = jnp.stack([qs_p[::sub_q], qs_p[sub_q - 1::sub_q]])
-    kb = jnp.stack([ks_p[::sub_n], ks_p[sub_n - 1::sub_n]])
-    w_col = w[:obs_dim].reshape(obs_dim, 1)
-    w0_arr = w[band_dim].reshape(1)
-
-    # second prune dim: the most selective obs dim (spread over
-    # half-width) EXCLUDING the band dim, measured from the data.
-    # Sub-slices carry its [min, max] — rows are band-sorted, so the
-    # range is whatever the slice spans; clustered stores (repeated
-    # trigger states) make it tight exactly where the band saturates.
-    vf = valid.astype(jnp.float32)
-    cnt2 = jnp.maximum(jnp.sum(vf), 1.0)
-    mean_d = (vf @ keys) / cnt2
-    spread = (vf @ jnp.abs(keys - mean_d)) / cnt2
-    sel = spread[:obs_dim] / jnp.maximum(w[:obs_dim], 1e-9)
-    sel = sel.at[band_dim].set(-1.0)
-    sdim2 = jnp.argmax(sel)
-    w2_arr = jnp.take(w, sdim2).reshape(1)
-    k2 = jnp.full((n_pad,), _PAD, jnp.float32).at[:n].set(
-        jnp.take(keys_s, sdim2, axis=1))
-    q2 = jnp.full((q_pad,), _PAD, jnp.float32).at[:b].set(
-        jnp.take(queries_s, sdim2, axis=1))
-    k2r = k2.reshape(-1, sub_n)
-    q2r = q2.reshape(-1, sub_q)
-    kb2 = jnp.stack([jnp.min(k2r, axis=1), jnp.max(k2r, axis=1)])
-    qb2 = jnp.stack([jnp.min(q2r, axis=1), jnp.max(q2r, axis=1)])
+    q2_p = jnp.full((q_pad,), _PAD, jnp.float32).at[:b].set(q2_s)
+    qb = _extrema(qs_p, sub_q)
+    qb2 = _extrema(q2_p, sub_q)
+    qbt = _extrema(qs_p, q_tile)
+    kb, kb2, kbt = prep.kb, prep.kb2, prep.kbt
+    rows_cat, kbf = prep.rows_cat, prep.kbf
+    w_col, w0_arr, w2_arr = prep.w_col, prep.w0, prep.w2
 
     grid = (q_pad // q_tile, n_pad // n_tile)
     out = pl.pallas_call(
@@ -758,6 +871,8 @@ def box_query_moments_peraction(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((3 * num_actions, q_tile),
                                lambda i, j: (0, i),
@@ -771,7 +886,8 @@ def box_query_moments_peraction(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(q_cat, qbf, rows_cat, kbf, w_col, w0_arr, w2_arr, qb, kb, qb2, kb2)
+    )(q_cat, qbf, rows_cat, kbf, w_col, w0_arr, w2_arr, qb, kb, qb2, kb2,
+      qbt, kbt)
 
     # [3A, q_pad] -> [B, A, 3], un-sorted
     res = out[:, :b].reshape(num_actions, 3, b).transpose(2, 0, 1)

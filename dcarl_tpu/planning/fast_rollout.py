@@ -894,7 +894,8 @@ def make_gated_driver_fast(sc: Scenario,
     from dcarl_tpu.config import StoreConfig
     from dcarl_tpu.core import rls as RLSmod
     from dcarl_tpu.core.store import _raw_moments, moments_to_stats
-    from dcarl_tpu.ops.pallas_store import box_query_moments_peraction
+    from dcarl_tpu.ops.pallas_store import (prepare_peraction_store,
+                                            query_peraction_prepared)
 
     scfg = store_cfg or StoreConfig()
     if use_pallas is None:
@@ -924,7 +925,7 @@ def make_gated_driver_fast(sc: Scenario,
     half_widths = jnp.asarray(hw, dtype)
 
     def one_step(carry, key, store_keys, store_values, store_valid,
-                 query_offset=None):
+                 query_offset=None, prep=None):
         state = carry
         obs = _obs_ori_soa(state, idx)                      # [20, B]
         b = obs.shape[1]
@@ -969,13 +970,11 @@ def make_gated_driver_fast(sc: Scenario,
         if use_pallas:
             # ONE 20-D query per env; per-action moments come from the
             # kernel's feats matmul (each integer-lattice row matches
-            # exactly one action — box_query_moments_peraction), an
-            # A-fold query-work reduction over the grouped batch.
-            moments = box_query_moments_peraction(
-                store_keys, store_values, store_valid,
-                obs_q.astype(jnp.float32),
-                half_widths.astype(jnp.float32),
-                num_actions=num_actions,
+            # exactly one action), against the store PREPARED once per
+            # run (sort/dedup/bounds hoisted out of the scan —
+            # prepare_peraction_store).
+            moments = query_peraction_prepared(
+                prep, obs_q.astype(jnp.float32),
                 interpret=pallas_interpret).reshape(-1, 3)
         else:
             queries = RLSmod.candidate_keys(obs_q, num_actions)
@@ -1026,20 +1025,33 @@ def make_gated_driver_fast(sc: Scenario,
         states = jax.vmap(lambda k: de.reset(sa, k, env_cfg))(keys)
         return _state_to_lane_major(states)
 
+    def _prep(store_keys, store_values, store_valid):
+        if not use_pallas:
+            return None
+        return prepare_peraction_store(
+            store_keys.astype(jnp.float32),
+            store_values.astype(jnp.float32), store_valid,
+            half_widths.astype(jnp.float32), num_actions=num_actions)
+
     if with_query_offset:
         @jax.jit
         def run_fn(carry, step_keys, store_keys, store_values, store_valid,
                    query_offset):
+            prep = _prep(store_keys, store_values, store_valid)
+
             def body(c, k):
                 return one_step(c, k, store_keys, store_values, store_valid,
-                                query_offset)
+                                query_offset, prep=prep)
 
             return jax.lax.scan(body, carry, step_keys)
     else:
         @jax.jit
         def run_fn(carry, step_keys, store_keys, store_values, store_valid):
+            prep = _prep(store_keys, store_values, store_valid)
+
             def body(c, k):
-                return one_step(c, k, store_keys, store_values, store_valid)
+                return one_step(c, k, store_keys, store_values, store_valid,
+                                prep=prep)
 
             return jax.lax.scan(body, carry, step_keys)
 

@@ -891,3 +891,43 @@ def test_episode_mode_trainer_validation_and_warmup_mask():
     # episode carries the whole-episode sum >= any other entry of it
     sizes = np.asarray(state.store_size)[0]
     assert sizes == rows[-1]
+
+
+def test_peraction_kernel_dedup_heavy_duplication():
+    """The kernel's run-aggregation path: a store where each unique key
+    repeats many times with DIFFERENT values (the collection stack's
+    locked-state repetition) must produce exactly the XLA reduction's
+    moments — the weighted (count, sum, sumsq) rows are an exact
+    regrouping, not an approximation."""
+    from dcarl_tpu.config import DRIVING_HALF_WIDTHS
+    from dcarl_tpu.core.rls import candidate_keys
+    from dcarl_tpu.core.store import _raw_moments
+    from dcarl_tpu.ops.pallas_store import box_query_moments_peraction
+
+    rng = np.random.default_rng(31)
+    uniq, reps, d, A = 40, 50, 21, 11
+    base = rng.normal(0, 5, (uniq, d)).astype(np.float32)
+    base[:, -1] = rng.integers(0, A, uniq)
+    keys = np.repeat(base, reps, axis=0)
+    perm = rng.permutation(uniq * reps)
+    keys = keys[perm]
+    vals = rng.normal(0, 1, uniq * reps).astype(np.float32)
+    n = uniq * reps + 37  # ragged invalid tail with stale content
+    keys_full = np.concatenate(
+        [keys, rng.normal(0, 5, (37, d)).astype(np.float32)])
+    vals_full = np.concatenate([vals, np.ones(37, np.float32)])
+    valid = np.arange(n) < uniq * reps
+
+    q = base[rng.integers(0, uniq, 16), :-1] + rng.normal(
+        0, 0.2, (16, d - 1)).astype(np.float32)
+    w = jnp.asarray(DRIVING_HALF_WIDTHS, jnp.float32)
+    got = np.asarray(box_query_moments_peraction(
+        jnp.asarray(keys_full), jnp.asarray(vals_full),
+        jnp.asarray(valid), jnp.asarray(q), w, num_actions=A,
+        interpret=True))
+    qg = candidate_keys(jnp.asarray(q), A).reshape(-1, d)
+    ref = np.asarray(_raw_moments(
+        jnp.asarray(keys_full), jnp.asarray(vals_full),
+        jnp.asarray(valid), qg, w)).reshape(16, A, 3)
+    assert ref[:, :, 0].sum() > 0
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)

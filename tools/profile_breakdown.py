@@ -268,7 +268,46 @@ def time_trainer(patches, batch, steps, store_capacity, repeats=3):
     return best / steps
 
 
-def time_gated(patches, batch, steps, store_rows, repeats=3):
+_ROLLOUT_STORE_CACHE = {}
+
+
+def _rollout_store(store_rows, env_cfg):
+    """bench.py's store: the INTEGRATED TRAINER's ring contents (the
+    reference's train -> persist -> deploy story) — dense distinct
+    visited-state records, the serving distribution the headline gated
+    number is measured on."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dcarl_tpu.config import DCARLConfig, driving_store_config
+    from dcarl_tpu.parallel.mesh import make_mesh
+    from dcarl_tpu.train_fast import make_trainer_fast
+
+    if store_rows in _ROLLOUT_STORE_CACHE:
+        return _ROLLOUT_STORE_CACHE[store_rows]
+    on_tpu = jax.default_backend() == "tpu"
+    tb = 16384 if on_tpu else 32
+    fill_steps = 300 if on_tpu else 8
+    mesh = make_mesh("env", jax.devices()[:1])
+    init_t, _, _, run_factory = make_trainer_fast(
+        mesh, "env", DCARLConfig(store=driving_store_config()),
+        batch_per_device=tb,
+        store_capacity_per_device=store_rows,
+        replay_capacity_per_device=1 << 14,
+        backfill_budget_per_step=max(512, tb // 4))
+    run_t = run_factory(fill_steps)
+    t_state = run_t(init_t(seed=7), jax.random.PRNGKey(8))[0]
+    n_rows = int(np.asarray(t_state.store_size)[0])
+    out = (jnp.asarray(t_state.store_keys[0]),
+           jnp.asarray(t_state.store_values[0]),
+           jnp.arange(store_rows) < n_rows)
+    _ROLLOUT_STORE_CACHE[store_rows] = out
+    return out
+
+
+def time_gated(patches, batch, steps, store_rows, repeats=3,
+               store_kind="corridor"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -279,19 +318,22 @@ def time_gated(patches, batch, steps, store_rows, repeats=3):
 
     scfg = driving_store_config()
     env_cfg = EnvConfig()
-    rng = np.random.default_rng(0)
-    d = env_cfg.state_dim + 1
-    s_keys = np.zeros((store_rows, d), np.float32)
-    s_keys[:, 0] = rng.normal(242.0, 1.0, store_rows)
-    s_keys[:, 1] = rng.uniform(70.0, 112.0, store_rows)
-    s_keys[:, 2] = rng.normal(0.0, 2.0, store_rows)
-    s_keys[:, 3] = rng.normal(-5.0, 3.0, store_rows)
-    s_keys[:, 4] = rng.normal(-1.57, 0.2, store_rows)
-    s_keys[:, 5:-1] = rng.normal(0.0, 8.0, (store_rows, d - 6))
-    s_keys[:, -1] = rng.integers(0, 11, store_rows)
-    s_vals = jnp.asarray(rng.normal(1.5, 0.5, store_rows), jnp.float32)
-    s_valid = jnp.ones((store_rows,), bool)
-    s_keys_j = jnp.asarray(s_keys)
+    if store_kind == "rollout":
+        s_keys_j, s_vals, s_valid = _rollout_store(store_rows, env_cfg)
+    else:
+        rng = np.random.default_rng(0)
+        d = env_cfg.state_dim + 1
+        s_keys = np.zeros((store_rows, d), np.float32)
+        s_keys[:, 0] = rng.normal(242.0, 1.0, store_rows)
+        s_keys[:, 1] = rng.uniform(70.0, 112.0, store_rows)
+        s_keys[:, 2] = rng.normal(0.0, 2.0, store_rows)
+        s_keys[:, 3] = rng.normal(-5.0, 3.0, store_rows)
+        s_keys[:, 4] = rng.normal(-1.57, 0.2, store_rows)
+        s_keys[:, 5:-1] = rng.normal(0.0, 8.0, (store_rows, d - 6))
+        s_keys[:, -1] = rng.integers(0, 11, store_rows)
+        s_vals = jnp.asarray(rng.normal(1.5, 0.5, store_rows), jnp.float32)
+        s_valid = jnp.ones((store_rows,), bool)
+        s_keys_j = jnp.asarray(s_keys)
 
     with contextlib.ExitStack() as st:
         for p in _flatten(patches):
@@ -327,7 +369,13 @@ def main():
 
     results = {"backend": backend,
                "trainer": {"batch": tb, "store_rows": tcap, "ablations": {}},
-               "gated": {"batch": gb, "store_rows": grows, "ablations": {}}}
+               "gated": {"batch": gb, "store_rows": grows,
+                         "store_kind": "corridor (worst case)",
+                         "ablations": {}},
+               "gated_rollout": {"batch": gb, "store_rows": grows,
+                                 "store_kind":
+                                 "real collector rollouts (bench.py)",
+                                 "ablations": {}}}
 
     for name, makers in ABLATIONS_TRAIN.items():
         dt = time_trainer(makers, tb, ts, tcap)
@@ -341,8 +389,15 @@ def main():
         print(f"gated   {name:14s} {dt * 1e3:8.2f} ms/step "
               f"({gb / dt / 1e6:6.2f} M env-steps/s)", flush=True)
 
+    # the headline store: bench.py's real rollout records
+    for name, makers in ABLATIONS_GATED.items():
+        dt = time_gated(makers, gb, gs, grows, store_kind="rollout")
+        results["gated_rollout"]["ablations"][name] = dt
+        print(f"gated@rollout {name:12s} {dt * 1e3:8.2f} ms/step "
+              f"({gb / dt / 1e6:6.2f} M env-steps/s)", flush=True)
+
     # markdown delta table
-    for sec in ("trainer", "gated"):
+    for sec in ("trainer", "gated", "gated_rollout"):
         full = results[sec]["ablations"]["full"]
         print(f"\n| {sec} component | ms/step saved | % of step |")
         print("|---|---|---|")
