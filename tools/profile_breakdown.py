@@ -72,6 +72,23 @@ def _stub_peraction_query():
         "dcarl_tpu.ops.pallas_store.box_query_moments_peraction", new=f)
 
 
+def _stub_prepared_query():
+    # the round-5 deployment query: prepare/query split — the gated
+    # driver prepares the store once per run and calls
+    # query_peraction_prepared inside the scan.  Stub the scan-side
+    # query (the hot path); preparation stays, as in the real driver.
+    import jax.numpy as jnp
+
+    def f(prep, obs_queries, q_tile=4096, interpret=False):
+        obs_dim = prep.kbf.shape[0]
+        num_actions = (prep.rows_cat.shape[0] - obs_dim - 1) // 3
+        return jnp.zeros((obs_queries.shape[0], num_actions, 3),
+                         jnp.float32)
+
+    return mock.patch(
+        "dcarl_tpu.ops.pallas_store.query_peraction_prepared", new=f)
+
+
 def _stub_control():
     import jax.numpy as jnp
 
@@ -221,7 +238,7 @@ ABLATIONS_TRAIN = {
 ABLATIONS_GATED = {
     "full": [],
     "-store_query": [_stub_grouped_query, _stub_raw_moments,
-                     _stub_peraction_query],
+                     _stub_peraction_query, _stub_prepared_query],
     "-plan": [_stub_plan],
     "-control": [_stub_control],
     "-project": [_stub_project],
@@ -359,6 +376,16 @@ def main():
     _enable_compile_cache()
     import jax
 
+    # Optional section filter: `python tools/profile_breakdown.py gated`
+    # runs only the named sections (trainer / gated / gated_rollout) and
+    # merges them into an existing PROFILE.json instead of replacing it.
+    # `cpu` forces the CPU backend (a session sitecustomize may pin a
+    # TPU backend that wins over the JAX_PLATFORMS env var).
+    only = set(sys.argv[1:])
+    if "cpu" in only:
+        only.discard("cpu")
+        jax.config.update("jax_platforms", "cpu")
+
     backend = jax.default_backend()
     if backend == "tpu":
         tb, ts, tcap = 32768, 20, 1 << 16
@@ -377,27 +404,43 @@ def main():
                                  "real collector rollouts (bench.py)",
                                  "ablations": {}}}
 
-    for name, makers in ABLATIONS_TRAIN.items():
-        dt = time_trainer(makers, tb, ts, tcap)
-        results["trainer"]["ablations"][name] = dt
-        print(f"trainer {name:14s} {dt * 1e3:8.2f} ms/step "
-              f"({tb / dt / 1e6:6.2f} M env-steps/s)", flush=True)
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PROFILE.json")
+    run_secs = [s for s in ("trainer", "gated", "gated_rollout")
+                if not only or s in only]
+    if only and os.path.exists(out_path):
+        with open(out_path) as f:
+            prev = json.load(f)
+        for sec in ("trainer", "gated", "gated_rollout"):
+            if sec not in run_secs and sec in prev:
+                results[sec] = prev[sec]
 
-    for name, makers in ABLATIONS_GATED.items():
-        dt = time_gated(makers, gb, gs, grows)
-        results["gated"]["ablations"][name] = dt
-        print(f"gated   {name:14s} {dt * 1e3:8.2f} ms/step "
-              f"({gb / dt / 1e6:6.2f} M env-steps/s)", flush=True)
+    if "trainer" in run_secs:
+        for name, makers in ABLATIONS_TRAIN.items():
+            dt = time_trainer(makers, tb, ts, tcap)
+            results["trainer"]["ablations"][name] = dt
+            print(f"trainer {name:14s} {dt * 1e3:8.2f} ms/step "
+                  f"({tb / dt / 1e6:6.2f} M env-steps/s)", flush=True)
 
-    # the headline store: bench.py's real rollout records
-    for name, makers in ABLATIONS_GATED.items():
-        dt = time_gated(makers, gb, gs, grows, store_kind="rollout")
-        results["gated_rollout"]["ablations"][name] = dt
-        print(f"gated@rollout {name:12s} {dt * 1e3:8.2f} ms/step "
-              f"({gb / dt / 1e6:6.2f} M env-steps/s)", flush=True)
+    if "gated" in run_secs:
+        for name, makers in ABLATIONS_GATED.items():
+            dt = time_gated(makers, gb, gs, grows)
+            results["gated"]["ablations"][name] = dt
+            print(f"gated   {name:14s} {dt * 1e3:8.2f} ms/step "
+                  f"({gb / dt / 1e6:6.2f} M env-steps/s)", flush=True)
+
+    if "gated_rollout" in run_secs:
+        # the headline store: bench.py's real rollout records
+        for name, makers in ABLATIONS_GATED.items():
+            dt = time_gated(makers, gb, gs, grows, store_kind="rollout")
+            results["gated_rollout"]["ablations"][name] = dt
+            print(f"gated@rollout {name:12s} {dt * 1e3:8.2f} ms/step "
+                  f"({gb / dt / 1e6:6.2f} M env-steps/s)", flush=True)
 
     # markdown delta table
-    for sec in ("trainer", "gated", "gated_rollout"):
+    for sec in run_secs:
+        if "full" not in results[sec]["ablations"]:
+            continue
         full = results[sec]["ablations"]["full"]
         print(f"\n| {sec} component | ms/step saved | % of step |")
         print("|---|---|---|")
@@ -409,8 +452,7 @@ def main():
                   f"{delta / full * 100:.1f}% |")
         print(f"| (full step) | {full * 1e3:.2f} ms | 100% |")
 
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "PROFILE.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=2)
 
 
