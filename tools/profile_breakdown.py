@@ -381,10 +381,20 @@ def main():
     # merges them into an existing PROFILE.json instead of replacing it.
     # `cpu` forces the CPU backend (a session sitecustomize may pin a
     # TPU backend that wins over the JAX_PLATFORMS env var).
+    # `fast` keeps only the decisive ablations (full / -store_query /
+    # -plan) — each ablation is a fresh XLA compile of the whole step
+    # program, which dominates tool wall-time over the remote tunnel.
     only = set(sys.argv[1:])
     if "cpu" in only:
         only.discard("cpu")
         jax.config.update("jax_platforms", "cpu")
+    fast = "fast" in only
+    only.discard("fast")
+    core = ("full", "-store_query", "-plan")
+    abl_train = ({k: ABLATIONS_TRAIN[k] for k in core} if fast
+                 else ABLATIONS_TRAIN)
+    abl_gated = ({k: ABLATIONS_GATED[k] for k in core} if fast
+                 else ABLATIONS_GATED)
 
     backend = jax.default_backend()
     if backend == "tpu":
@@ -416,14 +426,14 @@ def main():
                 results[sec] = prev[sec]
 
     if "trainer" in run_secs:
-        for name, makers in ABLATIONS_TRAIN.items():
+        for name, makers in abl_train.items():
             dt = time_trainer(makers, tb, ts, tcap)
             results["trainer"]["ablations"][name] = dt
             print(f"trainer {name:14s} {dt * 1e3:8.2f} ms/step "
                   f"({tb / dt / 1e6:6.2f} M env-steps/s)", flush=True)
 
     if "gated" in run_secs:
-        for name, makers in ABLATIONS_GATED.items():
+        for name, makers in abl_gated.items():
             dt = time_gated(makers, gb, gs, grows)
             results["gated"]["ablations"][name] = dt
             print(f"gated   {name:14s} {dt * 1e3:8.2f} ms/step "
@@ -431,7 +441,7 @@ def main():
 
     if "gated_rollout" in run_secs:
         # the headline store: bench.py's real rollout records
-        for name, makers in ABLATIONS_GATED.items():
+        for name, makers in abl_gated.items():
             dt = time_gated(makers, gb, gs, grows, store_kind="rollout")
             results["gated_rollout"]["ablations"][name] = dt
             print(f"gated@rollout {name:12s} {dt * 1e3:8.2f} ms/step "
