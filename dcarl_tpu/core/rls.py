@@ -246,7 +246,10 @@ def traj_buffer_push(
         disc = g ** jnp.maximum(
             idx[None, :] - idx[:, None], 0).astype(new_reward.dtype)
         disc = disc * (idx[None, :] >= idx[:, None]) * in_ep[None, :]
-        backfill_values = disc @ new_reward
+        # HIGHEST: keep bit-parity with the lane-major twin on TPU
+        # (MXU default truncates f32 operands to bf16)
+        backfill_values = jnp.matmul(disc, new_reward,
+                                     precision=jax.lax.Precision.HIGHEST)
     else:
         # Reference semantics (RLS.py:188-215): terminal backfill =
         # the newest entry's reward, discounted backwards; entry i
@@ -363,7 +366,11 @@ def traj_push_lane(
         disc = g ** jnp.maximum(
             iota[None, :] - iota[:, None], 0).astype(dt)
         disc = disc * (iota[None, :] >= iota[:, None])
-        backfill_values = jnp.einsum("ij,jb->ib", disc, new_rew * in_ep)
+        # HIGHEST: the TPU MXU default truncates f32 operands to bf16;
+        # these are the VALUES written to the confidence store, and the
+        # readable trainer computes them with exact f32 arithmetic.
+        backfill_values = jnp.einsum("ij,jb->ib", disc, new_rew * in_ep,
+                                     precision=jax.lax.Precision.HIGHEST)
     else:
         # terminal backfill (RLS.py:201-215): newest entry's reward,
         # discounted backwards

@@ -205,9 +205,15 @@ def _raw_moments(
     mask = (jnp.all(inside, axis=-1) & valid[None, :]).astype(values.dtype)
     feats = jnp.stack(
         [jnp.ones_like(values), values, values * values], axis=1)  # [N, 3]
+    # HIGHEST: the TPU MXU's default precision truncates f32 operands
+    # to bf16.  The mask is 0/1 (exact either way) but the value/value²
+    # columns are not — and this function is the exactness ORACLE the
+    # Pallas kernels are parity-tested against, so it must match the
+    # f64 ground truth to f32 accuracy, not bf16.
     return jax.lax.dot_general(
         mask, feats, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

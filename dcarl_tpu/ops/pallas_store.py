@@ -610,10 +610,17 @@ def _peraction_kernel(q_ref, qbf_ref, rows_ref, kbf_ref, w_ref, w0_ref,
                         mask = mask_b.astype(jnp.float32)  # [sub_q, sub_n]
                         feats = rows_ref[obs_dim:obs_dim + n_feats,
                                          s0:s1]            # [3A, sub_n]
+                        # HIGHEST: the MXU's default truncates f32
+                        # operands to bf16 — the mask is 0/1 (exact
+                        # either way) but feats carries aggregated
+                        # (count, sum, sumsq), and a bf16-ulp error
+                        # there is a visible moments error vs the XLA
+                        # oracle (bench parity is rtol 1e-4).
                         dots = jax.lax.dot_general(
                             feats, mask,
                             dimension_numbers=(((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
                         out_ref[:, qs0:qs1] = out_ref[:, qs0:qs1] + dots
 
 
@@ -696,18 +703,32 @@ def prepare_peraction_store(
     w2 = jnp.take(w, sdim2)
 
     # Lexicographic sort on BOTH sides: (band cell of width 2*w0,
-    # second dim, then every remaining dim).  Sub-slice bounds below
-    # are ACTUAL extrema, so any order is correct — this order makes
-    # both per-slice ranges tight at once AND brings bitwise-identical
-    # rows adjacent for the dedup below.  Invalid rows sort last
+    # second dim, then a 64-bit hash of the whole row).  Sub-slice
+    # bounds below are ACTUAL extrema, so any order is correct — this
+    # order makes both per-slice ranges tight at once AND brings
+    # bitwise-identical rows adjacent for the dedup below.  The hash
+    # stands in for a full per-dim tiebreak because a D+2-operand
+    # variadic sort is a compile-time cliff on TPU at fleet row counts
+    # (measured: the 22-key lexsort at 131k rows never finished
+    # compiling; 4 keys behave like the round-4 single-key sorts).
+    # Identical rows hash identically, so dedup still sees them
+    # adjacent; a 64-bit collision between DISTINCT rows only splits a
+    # dedup run (less compression, never wrong — the dedup compares
+    # the actual row contents of neighbors).  Invalid rows sort last
     # (cell = +inf).
     cell_w = 2.0 * jnp.maximum(w[band_dim], 1e-9)
     bk = keys[:, band_dim]
     d2k = jnp.take(keys, sdim2, axis=1)
     cells_k = jnp.where(valid, jnp.floor(bk / cell_w), jnp.inf)
-    rest = tuple(jnp.where(valid, keys[:, d_], _PAD)
-                 for d_ in range(d - 1, -1, -1))
-    order = jnp.lexsort(rest + (jnp.where(valid, d2k, _PAD), cells_k))
+    bits = jax.lax.bitcast_convert_type(keys, jnp.uint32)   # [N, D]
+    h1 = jnp.zeros((n,), jnp.uint32)
+    h2 = jnp.zeros((n,), jnp.uint32)
+    for d_ in range(d):
+        h1 = h1 * jnp.uint32(0x9E3779B1) + bits[:, d_]
+        h2 = h2 * jnp.uint32(0x85EBCA77) + (bits[:, d_] ^ jnp.uint32(d_))
+    order = jnp.lexsort((jnp.where(valid, h2, jnp.uint32(0)),
+                         jnp.where(valid, h1, jnp.uint32(0)),
+                         jnp.where(valid, d2k, _PAD), cells_k))
     keys_s = jnp.take(keys, order, axis=0)
     vals_s = jnp.take(values, order)
     valid_s = jnp.take(valid, order)
